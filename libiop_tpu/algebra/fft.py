@@ -1,0 +1,148 @@
+"""Radix-2 NTT over multiplicative cosets, TPU-first.
+
+Counterpart of the reference's ``multiplicative_FFT_degree_aware`` /
+IFFT paths (libiop/algebra/fft.tcc:236-361, 408-475), re-designed for XLA:
+
+* natural-order evaluations in/out (evals[k] = f(shift * g^k)), matching the
+  reference's element ordering so downstream coset layouts (FRI folds, BCS
+  leaf serialization) are stride-structured;
+* iterative decimation-in-time with bit-reversed input: each stage is a
+  reshape + one batched field mul + add/sub — pure dense tensor ops, no
+  data-dependent control flow, O(log N) stages in the traced graph;
+* degree-aware: a polynomial with d <= N coefficients skips the first
+  log2(N/d) stages entirely — they reduce to duplicating coefficients
+  (fft.tcc:252-289's trick) — so cost is O(N log d);
+* IFFT of known degree shrinks to the minimal subdomain first
+  (fft.tcc:435-475) via a strided slice.
+
+All data is (L, n) Montgomery limb arrays (limbs-first; see fields/prime.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.prime import PrimeField
+from .domains import MultiplicativeCoset, bitrev_permutation, device_powers
+
+
+def _bcast(w, ndim):
+    """Reshape (L, m) twiddles/scales to broadcast over (L, *batch, m)."""
+    return w.reshape((w.shape[0],) + (1,) * (ndim - 2) + (w.shape[1],))
+
+
+def _butterfly_stages(F: PrimeField, x, W, N: int, first_m: int):
+    """Run DIT butterfly stages m = first_m, 2*first_m, ..., N/2 on
+    x (L, *batch, N).
+
+    W is (L, N) powers of the domain generator g; stage-m twiddles are the
+    strided slice W[:, :: N/(2m)][:, :m].
+    """
+    m = first_m
+    lead = x.shape[:-1]
+    while m < N:
+        w = _bcast(W[:, :: N // (2 * m)][:, :m], x.ndim + 1)   # (L, 1..., 1, m)
+        xb = x.reshape(lead + (N // (2 * m), 2 * m))
+        a = xb[..., :m]
+        b = xb[..., m:]
+        t = F.mul(w, b)
+        x = jnp.concatenate([F.add(a, t), F.sub(a, t)], axis=-1).reshape(lead + (N,))
+        m *= 2
+    return x
+
+
+def fft(coeffs, domain: MultiplicativeCoset):
+    """Evaluate polynomial(s) with coefficient array ``coeffs`` (L, *batch, d)
+    over ``domain`` (order N >= d); returns (L, *batch, N) natural-order
+    evaluations."""
+    F = domain.field
+    N = domain.order
+    d = coeffs.shape[-1]
+    if d & (d - 1):  # pad to the next power of two
+        d2 = 1 << d.bit_length()
+        pad = jnp.zeros(coeffs.shape[:-1] + (d2 - d,), dtype=jnp.uint32)
+        coeffs = jnp.concatenate([coeffs, pad], axis=-1)
+        d = d2
+    assert d <= N, (d, N)
+    if domain.shift != 1:
+        coeffs = F.mul(coeffs, _bcast(domain.shift_powers()[:, :d], coeffs.ndim))
+    if d == 1:
+        return jnp.broadcast_to(coeffs[..., :1],
+                                coeffs.shape[:-1] + (N,)).astype(jnp.uint32)
+    # bit-reverse the d coefficients, then duplicate each N/d times
+    x = jnp.take(coeffs, jnp.asarray(bitrev_permutation(d)), axis=-1)
+    if N > d:
+        x = jnp.repeat(x, N // d, axis=-1)
+    W = domain.generator_powers()
+    return _butterfly_stages(F, x, W, N, first_m=N // d)
+
+
+def ifft(evals, domain: MultiplicativeCoset):
+    """Interpolate: (L, *batch, N) natural-order evals -> coefficients."""
+    F = domain.field
+    N = domain.order
+    assert evals.shape[-1] == N
+    if N == 1:
+        return evals
+    x = jnp.take(evals, jnp.asarray(bitrev_permutation(N)), axis=-1)
+    Winv = domain.inverse_generator_powers()
+    x = _butterfly_stages(F, x, Winv, N, first_m=1)
+    # scale by N^{-1}
+    n_inv = F.from_ints([pow(N, F.p - 2, F.p)]).reshape(
+        (F.L,) + (1,) * (x.ndim - 1))
+    x = F.mul(x, n_inv)
+    if domain.shift != 1:
+        x = F.mul(x, _bcast(domain.inverse_shift_powers()[:, :N], x.ndim))
+    return x
+
+
+def ifft_of_known_degree(evals, domain: MultiplicativeCoset, degree_bound: int):
+    """IFFT where the underlying polynomial is known to have < degree_bound
+    coefficients: interpolate over the minimal subdomain (fft.tcc:435-475)."""
+    F = domain.field
+    N = domain.order
+    d = max(1, degree_bound)
+    d = 1 << (d - 1).bit_length()  # next power of two
+    assert d <= N
+    if d == N:
+        return ifft(evals, domain)
+    sub = domain.get_subset_of_order(d)
+    sub_evals = evals[..., :: N // d]
+    return ifft(sub_evals, sub)
+
+
+# jitted-and-cached entry points for eager callers (tests, host orchestration)
+_jit_cache = {}
+
+
+def jfft(coeffs, domain: MultiplicativeCoset):
+    key = ("fft", domain, coeffs.shape[1])
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = _jit_cache[key] = jax.jit(lambda c: fft(c, domain))
+    return fn(coeffs)
+
+
+def jifft(evals, domain: MultiplicativeCoset):
+    key = ("ifft", domain)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = _jit_cache[key] = jax.jit(lambda e: ifft(e, domain))
+    return fn(evals)
+
+
+def naive_fft_ints(coeff_ints, domain: MultiplicativeCoset):
+    """Host-side reference evaluation via Horner (libiop fft.tcc:14-37 role).
+    coeff_ints: list of canonical ints. Returns list of canonical ints."""
+    p = domain.field.p
+    out = []
+    for k in range(domain.order):
+        x = domain.element_by_index_int(k)
+        acc = 0
+        for c in reversed(coeff_ints):
+            acc = (acc * x + int(c)) % p
+        out.append(acc)
+    return out
+
+

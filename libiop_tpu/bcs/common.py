@@ -1,0 +1,189 @@
+"""Shared BCS machinery: parameters, leaf-column serialization, transcripts.
+
+Counterpart of libiop/bcs/bcs_common.{hpp,tcc}:
+* ``BCSParameters`` = hash suite + pow + security (bcs_common.hpp:24-34);
+* one Merkle tree per (round, domain) holding all of that round's oracles
+  over that domain (bcs_common.tcc:423-480);
+* leaf columns follow the multiplicative coset-serialization layout
+  (bcs_common.tcc:646-676): with quotient_map_size c over a domain of size N,
+  leaf j holds, for each oracle (ascending id), the values at positions
+  j, j+N/c, ..., j+(c-1)N/c — i.e. the coset in intra-coset order;
+* the transcript is the SNARG (bcs_common.hpp:36-106).
+"""
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..fields.prime import PrimeField
+from .hashing import Blake2bHashing, Blake2bHashchain
+from .pow import PowParameters
+
+
+@dataclasses.dataclass
+class BCSParameters:
+    security_bits: int = 128
+    hash_name: str = "blake2b"
+    pow_bits: int = 0
+
+    def make_hasher(self) -> Blake2bHashing:
+        assert self.hash_name == "blake2b", "algebraic hashes arrive with Poseidon"
+        return Blake2bHashing(self.security_bits)
+
+    def make_hashchain(self, field: PrimeField) -> Blake2bHashchain:
+        return Blake2bHashchain(field, self.security_bits)
+
+    def make_pow(self) -> PowParameters:
+        return PowParameters(self.pow_bits)
+
+
+def serialize_leaf_blocks(F: PrimeField, oracle_evals_list, domain_order: int,
+                          coset_size: int) -> List[bytes]:
+    """Device->host serialization of a (round, domain)'s oracles into leaf
+    byte-columns.  oracle_evals_list: list of (L, N) Montgomery device arrays
+    in ascending oracle-id order."""
+    N = domain_order
+    c = coset_size
+    assert N % c == 0
+    num_leaves = N // c
+    per_oracle = []
+    for ev in oracle_evals_list:
+        canon = F.to_canonical_limbs(ev)
+        raw = np.frombuffer(F.canonical_to_bytes(canon), dtype=np.uint8
+                            ).reshape(N, F.elem_bytes)
+        # leaf j <- positions j + i*num_leaves for i in 0..c-1 (intra order)
+        blocks = raw.reshape(c, num_leaves, F.elem_bytes).transpose(1, 0, 2)
+        per_oracle.append(blocks.reshape(num_leaves, c * F.elem_bytes))
+    cat = np.concatenate(per_oracle, axis=1) if per_oracle else np.zeros(
+        (num_leaves, 0), np.uint8)
+    return [cat[j].tobytes() for j in range(num_leaves)]
+
+
+def parse_leaf_block(F: PrimeField, block: bytes, num_oracles: int,
+                     coset_size: int) -> List[List[int]]:
+    """Inverse of serialize_leaf_blocks for one leaf: returns
+    values[oracle_idx][intra_coset_idx] as canonical ints."""
+    eb = F.elem_bytes
+    assert len(block) == num_oracles * coset_size * eb
+    out = []
+    off = 0
+    for _ in range(num_oracles):
+        vals = []
+        for _ in range(coset_size):
+            vals.append(int.from_bytes(block[off:off + eb], "little"))
+            off += eb
+        out.append(vals)
+    return out
+
+
+@dataclasses.dataclass
+class MTProof:
+    """Revealed data for one Merkle tree."""
+    positions: List[int]                 # sorted unique leaf positions
+    leaf_blocks: List[bytes]             # same order as positions
+    aux_digests: List[bytes]             # pruned path digests
+    salts: Optional[List[bytes]] = None  # zk only
+
+
+@dataclasses.dataclass
+class BCSTranscript:
+    """The SNARG (bcs_common.hpp:36-106 role)."""
+    mt_roots: Dict[Tuple[int, int], bytes] = dataclasses.field(default_factory=dict)
+    prover_messages: Dict[int, List[int]] = dataclasses.field(default_factory=dict)
+    mt_proofs: Dict[Tuple[int, int], MTProof] = dataclasses.field(default_factory=dict)
+    pow_nonce: int = 0
+    # indexer support (Fractal): roots of the round-0 index MTs, carried in
+    # the verifier index instead of the transcript proper
+    total_depth_without_pruning: int = 0
+
+    # -- binary serialization (canonical proof format) ---------------------
+    def serialize(self) -> bytes:
+        out = [b"BCS1"]
+
+        def put_bytes(b: bytes):
+            out.append(struct.pack("<I", len(b)))
+            out.append(b)
+
+        out.append(struct.pack("<Q", self.pow_nonce))
+        out.append(struct.pack("<I", len(self.mt_roots)))
+        for (rnd, dom), root in sorted(self.mt_roots.items()):
+            out.append(struct.pack("<II", rnd, dom))
+            put_bytes(root)
+        out.append(struct.pack("<I", len(self.prover_messages)))
+        for mid in sorted(self.prover_messages):
+            vals = self.prover_messages[mid]
+            out.append(struct.pack("<II", mid, len(vals)))
+            for v in vals:
+                put_bytes(v.to_bytes((v.bit_length() + 7) // 8 or 1, "little"))
+        out.append(struct.pack("<I", len(self.mt_proofs)))
+        for (rnd, dom), prf in sorted(self.mt_proofs.items()):
+            out.append(struct.pack("<II", rnd, dom))
+            out.append(struct.pack("<I", len(prf.positions)))
+            for p in prf.positions:
+                out.append(struct.pack("<Q", p))
+            out.append(struct.pack("<I", len(prf.leaf_blocks)))
+            for b in prf.leaf_blocks:
+                put_bytes(b)
+            out.append(struct.pack("<I", len(prf.aux_digests)))
+            for b in prf.aux_digests:
+                put_bytes(b)
+            has_salts = prf.salts is not None
+            out.append(struct.pack("<B", 1 if has_salts else 0))
+            if has_salts:
+                out.append(struct.pack("<I", len(prf.salts)))
+                for s in prf.salts:
+                    put_bytes(s)
+        return b"".join(out)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "BCSTranscript":
+        assert data[:4] == b"BCS1"
+        off = 4
+
+        def get(fmt):
+            nonlocal off
+            sz = struct.calcsize(fmt)
+            vals = struct.unpack_from(fmt, data, off)
+            off += sz
+            return vals
+
+        def get_bytes() -> bytes:
+            nonlocal off
+            (n,) = get("<I")
+            b = data[off:off + n]
+            off += n
+            return b
+
+        t = cls()
+        (t.pow_nonce,) = get("<Q")
+        (nroots,) = get("<I")
+        for _ in range(nroots):
+            rnd, dom = get("<II")
+            t.mt_roots[(rnd, dom)] = get_bytes()
+        (nmsgs,) = get("<I")
+        for _ in range(nmsgs):
+            mid, nvals = get("<II")
+            t.prover_messages[mid] = [
+                int.from_bytes(get_bytes(), "little") for _ in range(nvals)]
+        (nproofs,) = get("<I")
+        for _ in range(nproofs):
+            rnd, dom = get("<II")
+            (npos,) = get("<I")
+            positions = [get("<Q")[0] for _ in range(npos)]
+            (nblk,) = get("<I")
+            blocks = [get_bytes() for _ in range(nblk)]
+            (naux,) = get("<I")
+            aux = [get_bytes() for _ in range(naux)]
+            (has_salts,) = get("<B")
+            salts = None
+            if has_salts:
+                (ns,) = get("<I")
+                salts = [get_bytes() for _ in range(ns)]
+            t.mt_proofs[(rnd, dom)] = MTProof(positions, blocks, aux, salts)
+        return t
+
+    def argument_size_bytes(self) -> int:
+        return len(self.serialize())

@@ -1,0 +1,145 @@
+"""Merkle trees over oracle leaf-columns, with pruned multi-membership proofs.
+
+Counterpart of libiop/bcs/merkle_tree.{hpp,tcc}:
+* one tree commits to ALL oracles of one (round, domain) pair; a leaf is the
+  serialized column of every oracle's values at one position — or, with
+  coset serialization (round_parameters), at a whole coset in intra-coset
+  order (bcs_common.tcc:620-696 layout);
+* zk trees append a fresh salt to each leaf before hashing
+  (merkle_tree.tcc:37-67);
+* multi-membership proofs are *pruned*: a layer-by-layer frontier walk emits
+  only the sibling digests not derivable from the queried set
+  (merkle_tree.tcc:244-337), validated by the mirrored walk
+  (merkle_tree.tcc:339-470).
+
+The leaf/inner hashing is batch work (native C++ kernel planned); the proof
+pruning is tiny host logic.
+"""
+from __future__ import annotations
+
+import secrets
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .hashing import Blake2bHashing
+
+
+class MerkleTree:
+    def __init__(self, hasher: Blake2bHashing, leaf_blocks: List[bytes],
+                 make_zk: bool = False, _salts: Optional[List[bytes]] = None):
+        n = len(leaf_blocks)
+        assert n >= 1 and (n & (n - 1)) == 0, "leaf count must be a power of two"
+        self.hasher = hasher
+        self.num_leaves = n
+        self.make_zk = make_zk
+        if make_zk:
+            self.salts = _salts if _salts is not None else [
+                secrets.token_bytes(hasher.salt_bytes) for _ in range(n)]
+            leaf_digests = [hasher.leaf_hash(b + s)
+                            for b, s in zip(leaf_blocks, self.salts)]
+        else:
+            self.salts = None
+            leaf_digests = [hasher.leaf_hash(b) for b in leaf_blocks]
+        # heap layout: nodes[1] = root; nodes[n..2n-1] = leaf digests
+        nodes: List[bytes] = [b""] * (2 * n)
+        nodes[n:] = leaf_digests
+        for i in range(n - 1, 0, -1):
+            nodes[i] = hasher.two_to_one(nodes[2 * i], nodes[2 * i + 1])
+        self.nodes = nodes
+
+    @property
+    def root(self) -> bytes:
+        return self.nodes[1]
+
+    def multi_proof(self, positions: Sequence[int]) -> List[bytes]:
+        """Pruned auxiliary digests for the given (unsorted, possibly
+        duplicated) leaf positions.  Deterministic order: bottom-up layers,
+        left-to-right within a layer."""
+        n = self.num_leaves
+        aux: List[bytes] = []
+        frontier = sorted(set(positions))
+        node_ids = [n + p for p in frontier]
+        while node_ids and node_ids[0] > 1:
+            known = set(node_ids)
+            parents = []
+            for nid in node_ids:
+                sib = nid ^ 1
+                if sib in known:
+                    if nid < sib:  # emit pair's parent once
+                        parents.append(nid // 2)
+                else:
+                    aux.append(self.nodes[sib])
+                    parents.append(nid // 2)
+            node_ids = sorted(set(parents))
+        return aux
+
+    def reveal_salts(self, positions: Sequence[int]) -> List[bytes]:
+        assert self.make_zk
+        return [self.salts[p] for p in sorted(set(positions))]
+
+
+def validate_multi_proof(hasher: Blake2bHashing, root: bytes, num_leaves: int,
+                         positions: Sequence[int], leaf_blocks: Sequence[bytes],
+                         aux: Sequence[bytes],
+                         salts: Optional[Sequence[bytes]] = None) -> bool:
+    """Mirror of MerkleTree.multi_proof: recompute the root from the claimed
+    leaf blocks (sorted-deduped position order) + pruned auxiliary digests."""
+    n = num_leaves
+    frontier = sorted(set(positions))
+    if len(frontier) != len(leaf_blocks):
+        return False
+    if salts is not None:
+        if len(salts) != len(frontier):
+            return False
+        digests = {n + p: hasher.leaf_hash(b + s)
+                   for p, b, s in zip(frontier, leaf_blocks, salts)}
+    else:
+        digests = {n + p: hasher.leaf_hash(b) for p, b in zip(frontier, leaf_blocks)}
+    aux = list(aux)
+    ai = 0
+    node_ids = sorted(digests.keys())
+    while node_ids and node_ids[0] > 1:
+        parents = []
+        known = set(node_ids)
+        new_digests: Dict[int, bytes] = {}
+        for nid in node_ids:
+            sib = nid ^ 1
+            if sib in known:
+                if nid < sib:
+                    new_digests[nid // 2] = hasher.two_to_one(
+                        digests[nid], digests[sib])
+                    parents.append(nid // 2)
+            else:
+                if ai >= len(aux):
+                    return False
+                sib_digest = aux[ai]
+                ai += 1
+                left, right = ((digests[nid], sib_digest) if nid % 2 == 0
+                               else (sib_digest, digests[nid]))
+                new_digests[nid // 2] = hasher.two_to_one(left, right)
+                parents.append(nid // 2)
+        digests = new_digests
+        node_ids = sorted(set(parents))
+    if ai != len(aux):
+        return False
+    return bool(node_ids) and digests[1] == root
+
+
+def count_proof_hashes(num_leaves: int, positions: Sequence[int]) -> int:
+    """Number of auxiliary digests a pruned proof contains
+    (merkle_tree.tcc:486+ role, used by the FRI argument-size optimizer)."""
+    frontier = sorted(set(positions))
+    node_ids = [num_leaves + p for p in frontier]
+    count = 0
+    while node_ids and node_ids[0] > 1:
+        known = set(node_ids)
+        parents = []
+        for nid in node_ids:
+            sib = nid ^ 1
+            if sib in known:
+                if nid < sib:
+                    parents.append(nid // 2)
+            else:
+                count += 1
+                parents.append(nid // 2)
+        node_ids = sorted(set(parents))
+    return count

@@ -1,0 +1,217 @@
+"""Basic (multi-)lincheck: reduce "f_Mz is consistent with f_z under M for
+M in {A,B,C}" to one batch sumcheck per repetition.
+
+Counterpart of libiop/protocols/encoded/lincheck/basic_lincheck.{hpp,tcc} +
+basic_lincheck_aux.{hpp,tcc}: the verifier sends alpha and r_M; the virtual
+oracle is
+    q(x) = p_alpha^1(x) * sum_M r_M f_Mz(x)  -  p_alpha^2(x) * f_z(x)
+where p_alpha^1 is the LDE of (alpha^i at the constraint-domain positions of
+the summation domain, 0 elsewhere) and p_alpha^2 the LDE of
+sum_M r_M (M^T alpha-powers) scattered to variable positions
+(basic_lincheck_aux.tcc:29-103, quasilinear algorithm rationale at
+basic_lincheck_aux.hpp:36-55).  The sum of q over the summation domain is 0
+iff all three linchecks hold (whp over alpha), delegated to sumcheck with
+claimed sum 0.  Repetitions per the soundness formula
+ceil(-sec / (constraint_dim - log|F|)) (basic_lincheck.tcc:14-57).
+
+TPU realization: alpha-powers via the log-depth powers kernel; M^T alpha via
+the gather/segment-sum transpose matvec; scatters use static precomputed
+reindex arrays; two degree-aware IFFT/FFT pairs per repetition.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields.prime import PrimeField
+from ..algebra.domains import MultiplicativeCoset, device_powers
+from ..algebra.fft import fft, ifft
+from ..algebra.poly import horner_eval
+from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
+from ..relations.sparse import SparseMatrix
+from .fri import log2_field_size
+from .sumcheck import BatchSumcheck
+
+
+class LincheckParams:
+    def __init__(self, F: PrimeField, interactive_security_parameter: int,
+                 constraint_domain_dim: int, make_zk: bool):
+        self.F = F
+        self.interactive_security_parameter = interactive_security_parameter
+        self.constraint_domain_dim = constraint_domain_dim
+        self.make_zk = make_zk
+        denom = constraint_domain_dim - log2_field_size(F)
+        reps = math.ceil(-interactive_security_parameter / denom)
+        self.repetitions = max(1, int(reps))
+
+
+class MultiLincheckVirtualOracle(VirtualOracle):
+    """q(x) as above; constituents [fz, fAz, fBz, fCz]."""
+
+    def __init__(self, F: PrimeField, codeword_domain, constraint_domain,
+                 variable_domain, summation_domain, input_variable_dim: int,
+                 matrices: List[SparseMatrix]):
+        self.F = F
+        self.L = codeword_domain
+        self.constraint_domain = constraint_domain
+        self.variable_domain = variable_domain
+        self.summation_domain = summation_domain
+        self.matrices = matrices
+        # static reindex maps (subgroup.tcc:147-174 formulas)
+        self.constraint_to_sum = np.array(
+            [summation_domain.reindex_by_subgroup(constraint_domain.dim, i)
+             for i in range(constraint_domain.order)], dtype=np.int64)
+        var_to_var = [variable_domain.reindex_by_subgroup(input_variable_dim, i)
+                      for i in range(variable_domain.order)]
+        self.var_to_sum = np.array(
+            [summation_domain.reindex_by_subgroup(variable_domain.dim, v)
+             for v in var_to_var], dtype=np.int64)
+        self._p1_coeffs = None
+        self._p2_coeffs = None
+        self._host_coeffs = None
+
+    def set_challenge(self, alpha: int, r_M: List[int]):
+        F = self.F
+        Hs = self.summation_domain
+        alpha_l = F.from_ints([alpha]).reshape(F.L)
+        alpha_powers = device_powers(F, alpha_l, self.constraint_domain.order)
+        # p_alpha^1 evals over summation domain
+        p1 = jnp.zeros((F.L, Hs.order), dtype=jnp.uint32)
+        p1 = p1.at[:, jnp.asarray(self.constraint_to_sum)].set(alpha_powers)
+        # p_alpha^2 = sum_M r_M M^T(alpha_powers), scattered to variable slots
+        acc = None
+        for m, M in enumerate(self.matrices):
+            v = M.matvec_transpose(alpha_powers)  # (L, num_cols)
+            r_l = F.from_ints([r_M[m]]).reshape(F.L, 1)
+            term = F.mul(v, r_l)
+            acc = term if acc is None else F.add(acc, term)
+        # pad/truncate columns to the variable domain order
+        nv = self.variable_domain.order
+        if acc.shape[1] < nv:
+            acc = jnp.concatenate(
+                [acc, jnp.zeros((F.L, nv - acc.shape[1]), dtype=jnp.uint32)], axis=1)
+        else:
+            assert acc.shape[1] == nv, (acc.shape, nv)
+        p2 = jnp.zeros((F.L, Hs.order), dtype=jnp.uint32)
+        p2 = p2.at[:, jnp.asarray(self.var_to_sum)].set(acc)
+        self._p1_coeffs = ifft(p1, Hs)
+        self._p2_coeffs = ifft(p2, Hs)
+        self._host_coeffs = None
+        self.r_M = [int(r) % F.p for r in r_M]
+
+    def evaluated_contents(self, evals):
+        assert self._p1_coeffs is not None, "challenge not set"
+        F = self.F
+        fz = evals[0]
+        p1_cw = fft(self._p1_coeffs, self.L)
+        p2_cw = fft(self._p2_coeffs, self.L)
+        combined_Mz = None
+        for m, ev in enumerate(evals[1:]):
+            r_l = F.from_ints([self.r_M[m]]).reshape(F.L, 1)
+            term = F.mul(ev, r_l)
+            combined_Mz = term if combined_Mz is None else F.add(combined_Mz, term)
+        return F.sub(F.mul(combined_Mz, p1_cw), F.mul(fz, p2_cw))
+
+    def _get_host_coeffs(self):
+        if self._host_coeffs is None:
+            F = self.F
+            p1 = [int(v) for v in F.to_ints(self._p1_coeffs)]
+            p2 = [int(v) for v in F.to_ints(self._p2_coeffs)]
+            self._host_coeffs = (p1, p2)
+        return self._host_coeffs
+
+    def evaluation_at_point(self, position, x, vals):
+        assert self._p1_coeffs is not None, "challenge not set"
+        p = self.F.p
+        p1c, p2c = self._get_host_coeffs()
+        p1_x = 0
+        for c in reversed(p1c):
+            p1_x = (p1_x * x + c) % p
+        p2_x = 0
+        for c in reversed(p2c):
+            p2_x = (p2_x * x + c) % p
+        fz_x = vals[0]
+        combined = sum(r * v for r, v in zip(self.r_M, vals[1:])) % p
+        return (combined * p1_x - fz_x * p2_x) % p
+
+
+class MultiLincheck:
+    def __init__(self, iop: IOPProtocol, codeword_handle, constraint_handle,
+                 variable_handle, input_variable_dim: int,
+                 matrices: List[SparseMatrix], fz_handle: OracleHandle,
+                 Mz_handles: List[OracleHandle], params: LincheckParams,
+                 rng: Optional[np.random.Generator] = None):
+        self.iop = iop
+        self.F = iop.F
+        self.params = params
+        self.codeword_handle = codeword_handle
+        constraint_domain = iop.get_domain(constraint_handle)
+        variable_domain = iop.get_domain(variable_handle)
+        if constraint_domain.dim > variable_domain.dim:
+            self.summation_handle = constraint_handle
+        else:
+            self.summation_handle = variable_handle
+        summation_domain = iop.get_domain(self.summation_handle)
+        self.constituents = [fz_handle] + list(Mz_handles)
+        fz_degree = iop.get_oracle_degree_bound(fz_handle)
+        Mz_degree = iop.get_oracle_degree_bound(Mz_handles[0])
+        self.lincheck_degree = summation_domain.order + max(fz_degree, Mz_degree) - 1
+        self.sumchecks: List[BatchSumcheck] = []
+        self.oracles: List[MultiLincheckVirtualOracle] = []
+        for _ in range(params.repetitions):
+            sc = BatchSumcheck(iop, self.summation_handle, codeword_handle,
+                               self.lincheck_degree, params.make_zk, rng=rng)
+            if params.make_zk:
+                sc.register_masking_polynomial()
+            self.sumchecks.append(sc)
+            self.oracles.append(MultiLincheckVirtualOracle(
+                self.F, iop.get_domain(codeword_handle), constraint_domain,
+                variable_domain, summation_domain, input_variable_dim, matrices))
+
+    def register_challenge(self):
+        self.alpha_handles = [self.iop.register_verifier_random_message(1)
+                              for _ in range(self.params.repetitions)]
+        self.r_handles = [self.iop.register_verifier_random_message(
+            len(self.constituents) - 1) for _ in range(self.params.repetitions)]
+        self.lincheck_handles = []
+        for i, sc in enumerate(self.sumchecks):
+            h = self.iop.register_virtual_oracle(
+                self.codeword_handle, self.lincheck_degree, self.constituents,
+                self.oracles[i])
+            self.lincheck_handles.append(h)
+            sc.attach_oracle_for_summing(h, 0)
+            sc.register_challenge()
+
+    def register_proof(self):
+        for sc in self.sumchecks:
+            sc.register_proof()
+
+    def submit_sumcheck_masking_polynomials(self):
+        if self.params.make_zk:
+            for sc in self.sumchecks:
+                sc.submit_masking_polynomial()
+
+    def _set_challenges(self):
+        for i in range(self.params.repetitions):
+            alpha = self.iop.obtain_verifier_random_message(self.alpha_handles[i])[0]
+            r_M = self.iop.obtain_verifier_random_message(self.r_handles[i])
+            self.oracles[i].set_challenge(alpha, r_M)
+
+    def calculate_and_submit_proof(self):
+        self._set_challenges()
+        for sc in self.sumchecks:
+            sc.calculate_and_submit_proof()
+
+    def construct_verifier_state(self):
+        self._set_challenges()
+        for sc in self.sumchecks:
+            sc.construct_verifier_state()
+
+    def ldt_oracle_handles(self) -> List[OracleHandle]:
+        out = []
+        for sc in self.sumchecks:
+            out.extend(sc.ldt_oracle_handles())
+        return out

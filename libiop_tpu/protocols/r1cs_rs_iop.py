@@ -1,0 +1,303 @@
+"""The RS-encoded Aurora protocol: witness oracles fw/fAz/fBz/fCz, the fz and
+rowcheck virtual oracles, and dispatch into multi-lincheck.
+
+Counterpart of libiop/protocols/encoded/r1cs_rs_iop/r1cs_rs_iop.{hpp,tcc}:
+* oracle degrees (r1cs_rs_iop.tcc:296-386): fw: n-(k+1)+b, fA/B/Cz: m+b,
+  fz (virtual) = n+b, rowcheck (virtual) = m+2b-1, with b the zk query bound;
+* fz = fw * Z_{input} + f_{1,v} where f_{1,v} interpolates (1, primary) over
+  the input-variable domain (r1cs_rs_iop.tcc:144-258);
+* rowcheck = (fAz*fBz - fCz)/Z_{constraint} exploiting the |H|-to-1 structure
+  of Z over the codeword domain (rowcheck.tcc, tiled inverse);
+* prover pipeline (r1cs_rs_iop.tcc:481-615): f_{1,v} IFFT/FFT, fw via
+  scatter -> IFFT -> (zk mask) -> exact division by Z_input -> FFT, and
+  f_Mz via sparse matvec -> IFFT -> (zk mask) -> FFT.
+
+All prover steps are dense device ops; scatters use static reindex arrays.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields.prime import PrimeField
+from ..algebra.domains import MultiplicativeCoset
+from ..algebra.fft import fft, ifft
+from ..algebra.poly import (divide_by_vanishing, mul_by_vanishing,
+                            vanishing_evals_over, vanishing_inverse_evals_over)
+from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
+from ..relations.r1cs import R1CS
+from .lincheck import LincheckParams, MultiLincheck
+
+
+def lagrange_coeffs_ints(domain: MultiplicativeCoset, x: int) -> List[int]:
+    """Host-int Lagrange coefficients of a (small) coset at x."""
+    F = domain.field
+    p = F.p
+    h = domain.order
+    z_x = (pow(x, h, p) - pow(domain.shift, h, p)) % p
+    out = []
+    c = h * pow(domain.shift, h - 1, p) % p  # Z'(e_i) = c * g^{-i}
+    for i in range(h):
+        e_i = domain.element_by_index_int(i)
+        if x % p == e_i:
+            return [1 if j == i else 0 for j in range(h)]
+        zp = c * pow(domain.g, (-i) % (p - 1), p) % p
+        out.append(z_x * pow(zp * (x - e_i) % p, p - 2, p) % p)
+    return out
+
+
+class FzOracle(VirtualOracle):
+    """fz = fw * Z_input + f_{1,v} (r1cs_rs_iop.tcc:144-258)."""
+
+    def __init__(self, F: PrimeField, input_domain: MultiplicativeCoset,
+                 codeword_domain: MultiplicativeCoset):
+        self.F = F
+        self.input_domain = input_domain
+        self.L = codeword_domain
+        self.primary: Optional[List[int]] = None
+        self._f1v_cw = None
+
+    def set_primary_input(self, primary: List[int]):
+        self.primary = [int(v) % self.F.p for v in primary]
+        self._f1v_cw = None
+
+    def _f1v_over_codeword(self):
+        if self._f1v_cw is None:
+            F = self.F
+            vals = F.from_ints([1] + self.primary)
+            coeffs = ifft(vals, self.input_domain)
+            self._f1v_cw = fft(coeffs, self.L)
+        return self._f1v_cw
+
+    def evaluated_contents(self, evals):
+        assert self.primary is not None
+        F = self.F
+        fw = evals[0]
+        z_in = vanishing_evals_over(self.input_domain, self.L)
+        return F.add(F.mul(fw, z_in), self._f1v_over_codeword())
+
+    def evaluation_at_point(self, position, x, vals):
+        assert self.primary is not None
+        p = self.F.p
+        fw_x = vals[0]
+        lag = lagrange_coeffs_ints(self.input_domain, x)
+        f1v_x = (lag[0] + sum(l * v for l, v in zip(lag[1:], self.primary))) % p
+        z_x = (pow(x, self.input_domain.order, p)
+               - pow(self.input_domain.shift, self.input_domain.order, p)) % p
+        return (fw_x * z_x + f1v_x) % p
+
+
+class RowcheckOracle(VirtualOracle):
+    """(fAz*fBz - fCz) / Z_constraint over the codeword domain."""
+
+    def __init__(self, F: PrimeField, codeword_domain, constraint_domain):
+        self.F = F
+        self.L = codeword_domain
+        self.constraint_domain = constraint_domain
+
+    def evaluated_contents(self, evals):
+        F = self.F
+        az, bz, cz = evals
+        z_inv = vanishing_inverse_evals_over(self.constraint_domain, self.L)
+        return F.mul(F.sub(F.mul(az, bz), cz), z_inv)
+
+    def evaluation_at_point(self, position, x, vals):
+        p = self.F.p
+        az, bz, cz = vals
+        z_x = (pow(x, self.constraint_domain.order, p)
+               - pow(self.constraint_domain.shift, self.constraint_domain.order, p)) % p
+        return (az * bz - cz) * pow(z_x, p - 2, p) % p
+
+
+class EncodedAuroraParams:
+    def __init__(self, F: PrimeField, interactive_security_bits: int,
+                 codeword_domain_dim: int, constraint_domain_dim: int,
+                 summation_domain_dim: int, query_bound: int, make_zk: bool,
+                 holographic: bool = False, index_domain_dim: int = 0):
+        self.F = F
+        self.codeword_domain_dim = codeword_domain_dim
+        self.constraint_domain_dim = constraint_domain_dim
+        self.summation_domain_dim = summation_domain_dim
+        self.query_bound = 0 if not make_zk else query_bound
+        self.make_zk = make_zk
+        self.holographic = holographic
+        self.index_domain_dim = index_domain_dim
+        if holographic:
+            from .holographic_lincheck import HolographicLincheckParams
+            self.holographic_lincheck_params = HolographicLincheckParams(
+                F, interactive_security_bits, constraint_domain_dim, make_zk)
+        else:
+            self.lincheck_params = LincheckParams(
+                F, interactive_security_bits, constraint_domain_dim, make_zk)
+
+    def max_tested_degree_bound(self) -> int:
+        """r1cs_rs_iop.tcc:56-77 formulas; holographic bounds use the actual
+        index domain (3|K|) rather than the reference's 3|H| approximation."""
+        if self.holographic:
+            lincheck = 3 * (1 << max(self.index_domain_dim,
+                                     self.constraint_domain_dim))
+        elif not self.make_zk:
+            return 1 << self.summation_domain_dim
+        else:
+            lincheck = 2 * (1 << self.summation_domain_dim) + self.query_bound - 1
+        rowcheck = (1 << self.constraint_domain_dim) + 2 * self.query_bound - 1
+        return max(lincheck, rowcheck)
+
+    def max_constraint_degree_bound(self) -> int:
+        if self.holographic:
+            lincheck = 4 * (1 << max(self.index_domain_dim,
+                                     self.constraint_domain_dim))
+        else:
+            lincheck = 2 * (1 << self.summation_domain_dim) + self.query_bound - 1
+        rowcheck = 2 * (1 << self.constraint_domain_dim) + 2 * self.query_bound - 1
+        return max(lincheck, rowcheck)
+
+
+class EncodedAurora:
+    def __init__(self, iop: IOPProtocol, constraint_handle, variable_handle,
+                 codeword_handle, r1cs: R1CS, params: EncodedAuroraParams,
+                 rng: Optional[np.random.Generator] = None):
+        self.iop = iop
+        self.F = iop.F
+        self.params = params
+        self.r1cs = r1cs
+        self.rng = rng or np.random.default_rng()
+        self.constraint_domain = iop.get_domain(constraint_handle)
+        self.variable_domain = iop.get_domain(variable_handle)
+        self.L = iop.get_domain(codeword_handle)
+        self.codeword_handle = codeword_handle
+        F = self.F
+        k = r1cs.num_inputs
+        assert (k + 1) & k == 0, "num_inputs + 1 must be a power of two"
+        assert r1cs.num_constraints == self.constraint_domain.order
+        assert r1cs.num_variables + 1 == self.variable_domain.order
+        self.input_domain = self.variable_domain.get_subset_of_order(k + 1)
+        n = self.variable_domain.order
+        m = self.constraint_domain.order
+        b = params.query_bound
+        self.fw_degree = n - (k + 1) + b
+        self.fw_mask_degree = b
+        fABCz_degree = m + b
+        self.fw_handle = iop.register_oracle(codeword_handle, self.fw_degree,
+                                             make_zk=params.make_zk)
+        self.fAz_handle = iop.register_oracle(codeword_handle, fABCz_degree,
+                                              make_zk=params.make_zk)
+        self.fBz_handle = iop.register_oracle(codeword_handle, fABCz_degree,
+                                              make_zk=params.make_zk)
+        self.fCz_handle = iop.register_oracle(codeword_handle, fABCz_degree,
+                                              make_zk=params.make_zk)
+        self.fz_oracle = FzOracle(F, self.input_domain, self.L)
+        fz_degree = self.fw_degree + k + 1
+        self.fz_handle = iop.register_virtual_oracle(
+            codeword_handle, fz_degree, [self.fw_handle], self.fz_oracle)
+        A, B, C = r1cs.matrices()
+        if params.holographic:
+            from .holographic_lincheck import HolographicMultiLincheck
+            self.multi_lincheck = HolographicMultiLincheck(
+                iop, codeword_handle, constraint_handle,
+                self.input_domain.dim, [A, B, C], self.fz_handle,
+                [self.fAz_handle, self.fBz_handle, self.fCz_handle],
+                params.holographic_lincheck_params, rng=self.rng)
+        else:
+            self.multi_lincheck = MultiLincheck(
+                iop, codeword_handle, constraint_handle, variable_handle,
+                self.input_domain.dim, [A, B, C], self.fz_handle,
+                [self.fAz_handle, self.fBz_handle, self.fCz_handle],
+                params.lincheck_params, rng=self.rng)
+        rowcheck_degree = m + 2 * b - 1 if params.make_zk else m - 1
+        # non-zk: deg((fAz*fBz - fCz)/Z_m) = 2m-1-m = m-1; zk: m+2b-1
+        self.rowcheck_oracle = RowcheckOracle(F, self.L, self.constraint_domain)
+        self.rowcheck_handle = iop.register_virtual_oracle(
+            codeword_handle, m + 2 * b - 1,
+            [self.fAz_handle, self.fBz_handle, self.fCz_handle],
+            self.rowcheck_oracle)
+        # static scatter maps
+        self.var_reindex = np.array(
+            [self.variable_domain.reindex_by_subgroup(self.input_domain.dim, j)
+             for j in range(n)], dtype=np.int64)
+
+    # -- registration ------------------------------------------------------
+    def set_index_oracles(self, index_handle, indexed_handles):
+        assert self.params.holographic
+        self.multi_lincheck.set_index_oracles(index_handle, indexed_handles)
+
+    def set_index_vectors_over_K(self, vectors_per_matrix):
+        assert self.params.holographic
+        self.multi_lincheck.set_index_vectors_over_K(vectors_per_matrix)
+
+    def register_challenge(self):
+        if self.params.holographic:
+            self.multi_lincheck.register_challenge_alpha()
+        else:
+            self.multi_lincheck.register_challenge()
+
+    def register_proof(self):
+        if self.params.holographic:
+            self.multi_lincheck.register_response_alpha()
+            self.multi_lincheck.register_challenge_beta()
+            self.multi_lincheck.register_response_beta()
+        else:
+            self.multi_lincheck.register_proof()
+
+    # -- proving -----------------------------------------------------------
+    def submit_witness_oracles(self, primary: List[int], auxiliary: List[int]):
+        F = self.F
+        self.fz_oracle.set_primary_input(primary)
+        self.multi_lincheck.submit_sumcheck_masking_polynomials()
+        k = self.r1cs.num_inputs
+        n = self.variable_domain.order
+        b = self.params.query_bound
+        # f_{1,v}: interpolate (1, primary) over the input domain
+        f1v_coeffs = ifft(F.from_ints([1] + list(primary)), self.input_domain)
+        f1v_vd = fft(f1v_coeffs, self.variable_domain)
+        # fw' evals over the variable domain: aux - f1v at witness slots, 0 at inputs
+        aux_positions = jnp.asarray(self.var_reindex[k + 1:])
+        aux_mont = F.from_ints(list(auxiliary))
+        fw_prime = jnp.zeros((F.L, n), dtype=jnp.uint32)
+        fw_prime = fw_prime.at[:, aux_positions].set(
+            F.sub(aux_mont, f1v_vd[:, aux_positions]))
+        fw_coeffs = ifft(fw_prime, self.variable_domain)
+        if self.params.make_zk:
+            # += Z_var * R_w, R_w random of degree < b
+            mask = F.random((max(b, 1),), self.rng)
+            zr = mul_by_vanishing(mask, self.variable_domain)  # (L, n + b)
+            ext = zr.at[:, :n].set(F.add(zr[:, :n], fw_coeffs))
+            fw_coeffs = ext
+        quotient, _rem = divide_by_vanishing(fw_coeffs, self.input_domain)
+        fw_cw = fft(quotient, self.L) if quotient.shape[1] else \
+            jnp.zeros((F.L, self.L.order), dtype=jnp.uint32)
+        # f_Mz: sparse matvec over the constraint domain -> LDE to codeword
+        z = self.r1cs.full_assignment(primary, auxiliary)
+        A, B, C = self.r1cs.matrices()
+        out_handles = [self.fAz_handle, self.fBz_handle, self.fCz_handle]
+        self.iop.submit_oracle(self.fw_handle, fw_cw)
+        for M, handle in zip([A, B, C], out_handles):
+            Mz = M.matvec(z)
+            coeffs = ifft(Mz, self.constraint_domain)
+            if self.params.make_zk:
+                maskM = F.random((max(b, 1),), self.rng)
+                m_ord = self.constraint_domain.order
+                zr = mul_by_vanishing(maskM, self.constraint_domain)
+                coeffs = zr.at[:, :m_ord].set(F.add(zr[:, :m_ord], coeffs))
+            self.iop.submit_oracle(handle, fft(coeffs, self.L))
+
+    def calculate_and_submit_proof(self):
+        if self.params.holographic:
+            self.multi_lincheck.calculate_response_alpha()
+            self.iop.signal_prover_round_done()
+            self.multi_lincheck.calculate_response_beta()
+        else:
+            self.multi_lincheck.calculate_and_submit_proof()
+
+    # -- verification ------------------------------------------------------
+    def construct_verifier_state(self, primary: List[int]):
+        self.fz_oracle.set_primary_input(primary)
+        self.multi_lincheck.construct_verifier_state()
+
+    def get_all_oracle_handles(self) -> List[OracleHandle]:
+        out = self.multi_lincheck.ldt_oracle_handles()
+        out.extend([self.fw_handle, self.fAz_handle, self.fBz_handle,
+                    self.fCz_handle, self.rowcheck_handle])
+        return out

@@ -1,0 +1,173 @@
+"""Univariate (Aurora) batch sumcheck over a multiplicative subgroup/coset.
+
+Counterpart of libiop/protocols/encoded/sumcheck/sumcheck.{hpp,tcc}:
+* claim: sum over H of f equals mu, for f of degree < degree_bound;
+* prover decomposes f = Z_H*h + x*g + mu/|H| and sends h (sumcheck.tcc:
+  calculate_and_submit_proof); the verifier reconstructs g virtually:
+      g(x) = (f(x) - mu/|H| - Z_H(x) h(x)) * x^{-1}        (sumcheck.tcc:15-56)
+  and g, h are low-degree-tested (deg g < |H|-1, deg h < degree_bound-|H|);
+* batching: many claims are combined by a random linear combination
+  (sumcheck.tcc:233-268); in zk mode a random masking polynomial summing to
+  zero over H is added with its own coefficient (sumcheck.tcc:290-343 — for a
+  multiplicative H, sum_H m = |H| * m(0), so m(0) is forced to zero).
+
+TPU realization: the combined-f codeword is built with lazily-reduced linear
+combinations; h comes from one degree-aware IFFT + the block division by
+Z_H (algebra.poly.divide_by_vanishing) + one degree-aware FFT — all dense
+tensor ops.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields.prime import PrimeField
+from ..algebra.domains import MultiplicativeCoset
+from ..algebra.fft import fft, ifft_of_known_degree
+from ..algebra.poly import (divide_by_vanishing, mul_by_vanishing,
+                            vanishing_evals_over)
+from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
+from .common import RandomLinearCombinationOracle
+
+
+class SumcheckGOracle(VirtualOracle):
+    """g(x) = (f(x) - mu/|H| - Z_H(x) h(x)) * x^{-1}  (multiplicative case)."""
+
+    def __init__(self, F: PrimeField, summation_domain: MultiplicativeCoset,
+                 codeword_domain: MultiplicativeCoset):
+        self.F = F
+        self.H = summation_domain
+        self.L = codeword_domain
+        self.claimed_sum: Optional[int] = None
+
+    def set_claimed_sum(self, mu: int):
+        h_inv = pow(self.H.order, self.F.p - 2, self.F.p)
+        self.mu_over_H = (mu * h_inv) % self.F.p
+        self.claimed_sum = mu % self.F.p
+
+    def evaluated_contents(self, evals):
+        assert self.claimed_sum is not None, "claimed sum not set"
+        F = self.F
+        f_evals, h_evals = evals
+        z_evals = vanishing_evals_over(self.H, self.L)
+        mu_l = F.from_ints([self.mu_over_H]).reshape(F.L, 1)
+        num = F.sub(F.sub(f_evals, jnp.broadcast_to(
+            mu_l, f_evals.shape).astype(jnp.uint32)), F.mul(z_evals, h_evals))
+        return F.mul(num, self.L.inverse_elements())
+
+    def evaluation_at_point(self, position, x, vals):
+        assert self.claimed_sum is not None, "claimed sum not set"
+        p = self.F.p
+        f_x, h_x = vals
+        z_x = (pow(x, self.H.order, p) - pow(self.H.shift, self.H.order, p)) % p
+        return (f_x - self.mu_over_H - z_x * h_x) * pow(x, p - 2, p) % p
+
+
+class BatchSumcheck:
+    """Drives registration and proving of one batch-sumcheck instance
+    (libiop batch_sumcheck_protocol role)."""
+
+    def __init__(self, iop: IOPProtocol, summation_handle, codeword_handle,
+                 degree_bound: int, make_zk: bool,
+                 rng: Optional[np.random.Generator] = None):
+        self.iop = iop
+        self.F = iop.F
+        self.summation_handle = summation_handle
+        self.codeword_handle = codeword_handle
+        self.H = iop.get_domain(summation_handle)
+        self.L = iop.get_domain(codeword_handle)
+        self.degree_bound = degree_bound
+        self.make_zk = make_zk
+        self.rng = rng or np.random.default_rng()
+        self.g_degree = self.H.order - 1
+        self.h_degree = degree_bound - self.H.order
+        self.attached_handles: List[OracleHandle] = []
+        self.claimed_sums: List[int] = []
+        self.masking_handle: Optional[OracleHandle] = None
+
+    # -- registration ------------------------------------------------------
+    def register_masking_polynomial(self):
+        self.masking_handle = self.iop.register_oracle(
+            self.codeword_handle, self.degree_bound, make_zk=self.make_zk)
+
+    def attach_oracle_for_summing(self, handle: OracleHandle, claimed_sum: int = 0):
+        self.attached_handles.append(handle)
+        self.claimed_sums.append(claimed_sum % self.F.p)
+
+    def set_oracle_claimed_sum(self, handle: OracleHandle, claimed_sum: int):
+        idx = self.attached_handles.index(handle)
+        self.claimed_sums[idx] = claimed_sum % self.F.p
+
+    def register_challenge(self):
+        n = len(self.attached_handles) + (1 if self.make_zk else 0)
+        self.challenge_handle = self.iop.register_verifier_random_message(n)
+
+    def register_proof(self):
+        self.h_handle = self.iop.register_oracle(
+            self.codeword_handle, self.h_degree, make_zk=False)
+        constituents = ([self.masking_handle] if self.make_zk else []) \
+            + list(self.attached_handles)
+        self.combined_f_oracle = RandomLinearCombinationOracle(self.F, len(constituents))
+        self.combined_f_handle = self.iop.register_virtual_oracle(
+            self.codeword_handle, self.degree_bound, constituents,
+            self.combined_f_oracle)
+        self.g_oracle = SumcheckGOracle(self.F, self.H, self.L)
+        self.g_handle = self.iop.register_virtual_oracle(
+            self.codeword_handle, self.g_degree,
+            [self.combined_f_handle, self.h_handle], self.g_oracle)
+
+    # -- proving -----------------------------------------------------------
+    def submit_masking_polynomial(self):
+        """Random poly of degree < degree_bound summing to 0 over H:
+        m = Z_H * h' + g' with g'(0) = 0 (multiplicative case)."""
+        assert self.make_zk
+        F = self.F
+        g_coeffs = F.random((self.H.order,), self.rng)
+        g_coeffs = g_coeffs.at[:, 0].set(0)  # g'(0) = 0 => sum over H is 0
+        h_coeffs = F.random((max(self.h_degree, 1),), self.rng)
+        m = mul_by_vanishing(h_coeffs, self.H)  # Z_H * h'
+        m = m.at[:, :self.H.order].set(F.add(m[:, :self.H.order], g_coeffs))
+        evals = fft(m, self.L)
+        self.iop.submit_oracle(self.masking_handle, evals)
+
+    def _combined_claimed_sum(self, challenge: List[int]) -> int:
+        start = 1 if self.make_zk else 0
+        return sum(challenge[i + start] * s
+                   for i, s in enumerate(self.claimed_sums)) % self.F.p
+
+    def calculate_and_submit_proof(self):
+        F = self.F
+        challenge = self.iop.obtain_verifier_random_message(self.challenge_handle)
+        self.combined_f_oracle.set_coefficients(challenge)
+        combined_evals = self.iop.get_oracle_evaluations(self.combined_f_handle)
+        coeffs = ifft_of_known_degree(combined_evals, self.L, self.degree_bound)
+        coeffs = coeffs[:, :max(self.degree_bound, 1)]
+        mu = self._combined_claimed_sum(challenge)
+        self.g_oracle.set_claimed_sum(mu)
+        quotient, _rem = divide_by_vanishing(coeffs, self.H)
+        if quotient.shape[1] == 0:
+            quotient = jnp.zeros((F.L, 1), dtype=jnp.uint32)
+        d = 1 << (max(quotient.shape[1], 1) - 1).bit_length()
+        if quotient.shape[1] != d:
+            quotient = jnp.concatenate(
+                [quotient, jnp.zeros((F.L, d - quotient.shape[1]), dtype=jnp.uint32)],
+                axis=1)
+        h_evals = fft(quotient, self.L)
+        self.iop.submit_oracle(self.h_handle, h_evals)
+
+    # -- verification ------------------------------------------------------
+    def construct_verifier_state(self):
+        challenge = self.iop.obtain_verifier_random_message(self.challenge_handle)
+        self.combined_f_oracle.set_coefficients(challenge)
+        self.g_oracle.set_claimed_sum(self._combined_claimed_sum(challenge))
+
+    # -- LDT interface -----------------------------------------------------
+    def ldt_oracle_handles(self) -> List[OracleHandle]:
+        handles = []
+        if self.make_zk:
+            handles.append(self.masking_handle)
+        handles.append(self.h_handle)
+        handles.append(self.g_handle)
+        return handles
