@@ -31,17 +31,49 @@ from ..fields.prime import PrimeField
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def device_powers(F: PrimeField, x, n: int):
-    """[x^0, x^1, ..., x^{n-1}] as (L, n) Montgomery limbs, via log-depth
-    doubling (n must be a power of two; O(log n) batched muls)."""
-    assert n >= 1 and (n & (n - 1)) == 0
+def host_powers(F: PrimeField, x_int: int, n: int):
+    """[x^0..x^{n-1}] as a (L, n) Montgomery limb array, computed host-side
+    with Python ints (zero XLA compile cost — preferred for domain caches)."""
+    p = F.p
+    eb = 2 * F.L
+    acc = F.R % p  # Montgomery form of 1
+    x_int %= p
+    buf = bytearray(n * eb)
+    for j in range(n):
+        buf[j * eb:(j + 1) * eb] = acc.to_bytes(eb, "little")
+        acc = acc * x_int % p
+    arr = np.frombuffer(bytes(buf), dtype="<u2").reshape(n, F.L)
+    return jnp.asarray(arr.T.astype(np.uint32))
+
+
+def _powers_doubling(F: PrimeField, x, n: int):
     out = F.ones((1,))
     s = x.reshape(F.L, 1)
     while out.shape[1] < n:
         out = jnp.concatenate([out, F.mul(out, s)], axis=1)
         s = F.square(s)
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def device_powers(F: PrimeField, x, n: int):
+    """[x^0, x^1, ..., x^{n-1}] as (L, n) Montgomery limbs.
+
+    Two-level construction keeps the traced graph small for large n:
+    A = powers(x, K) and B = powers(x^K, n/K) by log-depth doubling on
+    sqrt-sized arrays, then W[jK+i] = B[j] * A[i] via one broadcast multiply.
+    """
+    assert n >= 1 and (n & (n - 1)) == 0
+    if n <= 256:
+        return _powers_doubling(F, x, n)
+    log_n = n.bit_length() - 1
+    K = 1 << (log_n // 2)
+    A = _powers_doubling(F, x, K)                      # (L, K)
+    xK = A[:, -1:]
+    xK = F.mul(xK, x.reshape(F.L, 1))                  # x^K
+    B = _powers_doubling(F, xK.reshape(F.L), n // K)   # (L, n/K)
+    W = F.mul(B[:, :, None], A[:, None, :])            # (L, n/K, K)
+    return W.reshape(F.L, n)
 
 
 def bitrev_permutation(n: int) -> np.ndarray:
@@ -102,8 +134,7 @@ class MultiplicativeCoset:
     def generator_powers(self):
         """(L, order) device array of g^k, k = 0..order-1 (Montgomery)."""
         if self._gen_powers is None:
-            g_limbs = self.field.from_ints([self.g]).reshape(self.field.L)
-            self._gen_powers = device_powers(self.field, g_limbs, self.order)
+            self._gen_powers = host_powers(self.field, self.g, self.order)
         return self._gen_powers
 
     def elements(self):
@@ -119,24 +150,21 @@ class MultiplicativeCoset:
     def inverse_generator_powers(self):
         """(L, order) device array of g^-k (Montgomery)."""
         if self._inv_gen_powers is None:
-            gi = self.field.from_ints(
-                [pow(self.g, self.field.p - 2, self.field.p)]).reshape(self.field.L)
-            self._inv_gen_powers = device_powers(self.field, gi, self.order)
+            self._inv_gen_powers = host_powers(
+                self.field, pow(self.g, self.field.p - 2, self.field.p), self.order)
         return self._inv_gen_powers
 
     def shift_powers(self):
         """(L, order) device array of shift^k (Montgomery)."""
         if self._shift_pow is None:
-            sh = self.field.from_ints([self.shift]).reshape(self.field.L)
-            self._shift_pow = device_powers(self.field, sh, self.order)
+            self._shift_pow = host_powers(self.field, self.shift, self.order)
         return self._shift_pow
 
     def inverse_shift_powers(self):
         """(L, order) device array of shift^-k (Montgomery)."""
         if self._inv_shift_pow is None:
-            sh = self.field.from_ints(
-                [pow(self.shift, self.field.p - 2, self.field.p)]).reshape(self.field.L)
-            self._inv_shift_pow = device_powers(self.field, sh, self.order)
+            self._inv_shift_pow = host_powers(
+                self.field, pow(self.shift, self.field.p - 2, self.field.p), self.order)
         return self._inv_shift_pow
 
     def inverse_elements(self):

@@ -32,6 +32,43 @@ def _bcast(w, ndim):
     return w.reshape((w.shape[0],) + (1,) * (ndim - 2) + (w.shape[1],))
 
 
+# Above this size the O(log N)-stage unrolled graph is replaced by a
+# lax.scan with a single flat-indexed butterfly stage (O(1) graph size —
+# compile time stays constant as N grows; each stage costs two gathers).
+_SCAN_THRESHOLD = 1 << 11
+
+
+def _butterfly_stages_scan(F: PrimeField, x, W, N: int, first_m: int):
+    """Same computation as _butterfly_stages, expressed as one scanned stage:
+    at stage s (m = 2^s), out[j] = x[j & ~m] +/- W[(j & (m-1)) << (n-1-s)] *
+    x[j | m].  All indices are bitwise functions of the traced stage counter,
+    so the traced graph is a single stage."""
+    n_log = N.bit_length() - 1
+    s0 = (first_m).bit_length() - 1
+    lead = x.shape[:-1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+
+    def body(xc, s):
+        m = jnp.int32(1) << s
+        idx_lo = j & ~m
+        idx_hi = j | m
+        tw_idx = (j & (m - 1)) << (jnp.int32(n_log - 1) - s)
+        a = jnp.take(xc, idx_lo, axis=-1)
+        b = jnp.take(xc, idx_hi, axis=-1)
+        w = jnp.take(W, tw_idx, axis=-1)
+        w = _bcast(w, xc.ndim) if xc.ndim > 2 else w
+        t = F.mul(w, b)
+        plus = F.add(a, t)
+        minus = F.sub(a, t)
+        is_hi = ((j & m) != 0)
+        out = jnp.where(is_hi, minus, plus)
+        return out, None
+
+    stages = jnp.arange(s0, n_log, dtype=jnp.int32)
+    out, _ = jax.lax.scan(body, x, stages)
+    return out
+
+
 def _butterfly_stages(F: PrimeField, x, W, N: int, first_m: int):
     """Run DIT butterfly stages m = first_m, 2*first_m, ..., N/2 on
     x (L, *batch, N).
@@ -75,7 +112,8 @@ def fft(coeffs, domain: MultiplicativeCoset):
     if N > d:
         x = jnp.repeat(x, N // d, axis=-1)
     W = domain.generator_powers()
-    return _butterfly_stages(F, x, W, N, first_m=N // d)
+    stages = _butterfly_stages_scan if N >= _SCAN_THRESHOLD else _butterfly_stages
+    return stages(F, x, W, N, first_m=N // d)
 
 
 def ifft(evals, domain: MultiplicativeCoset):
@@ -87,7 +125,8 @@ def ifft(evals, domain: MultiplicativeCoset):
         return evals
     x = jnp.take(evals, jnp.asarray(bitrev_permutation(N)), axis=-1)
     Winv = domain.inverse_generator_powers()
-    x = _butterfly_stages(F, x, Winv, N, first_m=1)
+    stages = _butterfly_stages_scan if N >= _SCAN_THRESHOLD else _butterfly_stages
+    x = stages(F, x, Winv, N, first_m=1)
     # scale by N^{-1}
     n_inv = F.from_ints([pow(N, F.p - 2, F.p)]).reshape(
         (F.L,) + (1,) * (x.ndim - 1))

@@ -26,14 +26,21 @@ from .pow import PowParameters
 @dataclasses.dataclass
 class BCSParameters:
     security_bits: int = 128
-    hash_name: str = "blake2b"
+    hash_name: str = "blake2b"  # "blake2b" | "poseidon"
     pow_bits: int = 0
 
-    def make_hasher(self) -> Blake2bHashing:
-        assert self.hash_name == "blake2b", "algebraic hashes arrive with Poseidon"
+    def make_hasher(self, field: Optional[PrimeField] = None):
+        if self.hash_name == "poseidon":
+            from .poseidon import PoseidonHashing
+            assert field is not None
+            return PoseidonHashing(field, self.security_bits)
+        assert self.hash_name == "blake2b", self.hash_name
         return Blake2bHashing(self.security_bits)
 
-    def make_hashchain(self, field: PrimeField) -> Blake2bHashchain:
+    def make_hashchain(self, field: PrimeField):
+        if self.hash_name == "poseidon":
+            from .poseidon import PoseidonHashchain
+            return PoseidonHashchain(field, self.security_bits)
         return Blake2bHashchain(field, self.security_bits)
 
     def make_pow(self) -> PowParameters:

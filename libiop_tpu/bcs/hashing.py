@@ -47,6 +47,22 @@ class Blake2bHashing:
     def two_to_one(self, left: bytes, right: bytes) -> bytes:
         return blake2b(left + right, self.digest_bytes)
 
+    # batched variants (native C++ with OpenMP; hashlib fallback)
+    def leaf_hash_batch(self, blocks):
+        from . import native_blake2b
+        out = native_blake2b.hash_batch(list(blocks), self.digest_bytes)
+        if out is not None:
+            return out
+        return [self.leaf_hash(b) for b in blocks]
+
+    def tree_layer(self, digests):
+        from . import native_blake2b
+        out = native_blake2b.tree_layer(list(digests), self.digest_bytes)
+        if out is not None:
+            return out
+        return [self.two_to_one(digests[2 * i], digests[2 * i + 1])
+                for i in range(len(digests) // 2)]
+
 
 class Blake2bHashchain:
     """Sequential Fiat–Shamir state.  absorb(x): state <- H(state || x).

@@ -31,19 +31,31 @@ class MerkleTree:
         self.hasher = hasher
         self.num_leaves = n
         self.make_zk = make_zk
+        batch = getattr(hasher, "leaf_hash_batch", None)
         if make_zk:
             self.salts = _salts if _salts is not None else [
                 secrets.token_bytes(hasher.salt_bytes) for _ in range(n)]
-            leaf_digests = [hasher.leaf_hash(b + s)
-                            for b, s in zip(leaf_blocks, self.salts)]
+            salted = [b + s for b, s in zip(leaf_blocks, self.salts)]
+            leaf_digests = batch(salted) if batch else [
+                hasher.leaf_hash(b) for b in salted]
         else:
             self.salts = None
-            leaf_digests = [hasher.leaf_hash(b) for b in leaf_blocks]
+            leaf_digests = batch(leaf_blocks) if batch else [
+                hasher.leaf_hash(b) for b in leaf_blocks]
         # heap layout: nodes[1] = root; nodes[n..2n-1] = leaf digests
         nodes: List[bytes] = [b""] * (2 * n)
         nodes[n:] = leaf_digests
-        for i in range(n - 1, 0, -1):
-            nodes[i] = hasher.two_to_one(nodes[2 * i], nodes[2 * i + 1])
+        layer_fn = getattr(hasher, "tree_layer", None)
+        if layer_fn is not None:
+            level = leaf_digests
+            base = n
+            while len(level) > 1:
+                level = layer_fn(level)
+                base //= 2
+                nodes[base:base + len(level)] = level
+        else:
+            for i in range(n - 1, 0, -1):
+                nodes[i] = hasher.two_to_one(nodes[2 * i], nodes[2 * i + 1])
         self.nodes = nodes
 
     @property

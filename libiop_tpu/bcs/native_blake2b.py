@@ -1,0 +1,77 @@
+"""ctypes bindings for the native batched BLAKE2b (native/blake2b).
+
+Builds the shared library on first use (g++ -O3 -fopenmp); falls back to
+hashlib loops if the toolchain is unavailable.  Correctness is pinned to
+hashlib.blake2b by tests/test_native_blake2b.py.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "blake2b")
+_SO_PATH = os.path.join(_SRC_DIR, "libblake2b_batch.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    src = os.path.join(_SRC_DIR, "blake2b_batch.cpp")
+    try:
+        if (not os.path.exists(_SO_PATH)
+                or os.path.getmtime(_SO_PATH) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+                 "-o", _SO_PATH, src],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.blake2b_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t]
+        lib.blake2b_tree_layer.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_char_p]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def hash_batch(blocks: List[bytes], digest_len: int) -> Optional[List[bytes]]:
+    """Hash equal-length blocks; returns None if native lib unavailable or
+    blocks have mixed lengths."""
+    lib = _load()
+    if lib is None or not blocks:
+        return None
+    in_len = len(blocks[0])
+    if any(len(b) != in_len for b in blocks):
+        return None
+    joined = b"".join(blocks)
+    out = ctypes.create_string_buffer(len(blocks) * digest_len)
+    lib.blake2b_batch(joined, len(blocks), in_len, out, digest_len)
+    raw = out.raw
+    return [raw[i * digest_len:(i + 1) * digest_len] for i in range(len(blocks))]
+
+
+def tree_layer(digests: List[bytes], digest_len: int) -> Optional[List[bytes]]:
+    """[d0,d1,d2,d3,...] -> [H(d0||d1), H(d2||d3), ...]; None if unavailable."""
+    lib = _load()
+    if lib is None or not digests:
+        return None
+    n_out = len(digests) // 2
+    joined = b"".join(digests)
+    out = ctypes.create_string_buffer(n_out * digest_len)
+    lib.blake2b_tree_layer(joined, n_out, digest_len, out)
+    raw = out.raw
+    return [raw[i * digest_len:(i + 1) * digest_len] for i in range(n_out)]

@@ -1,0 +1,192 @@
+"""Poseidon permutation + algebraic sponge hashing for the BCS layer.
+
+Counterpart of libiop/bcs/hashing/{poseidon,algebraic_sponge}.{hpp,tcc} +
+hash_enum (poseidon.hpp:20-90, permutation loop poseidon.tcc:242-281,
+sponge state machine algebraic_sponge.hpp:30-64): x^alpha S-box, R_F full
+rounds (S-box on the whole state), R_P partial rounds (S-box on one lane),
+MDS mix, rate/capacity sponge on top.  Parameter presets mirror the
+reference's alt_bn128 instantiations (state 3 = rate 2 + capacity 1,
+alpha=5, 8 full + 57 partial rounds at 128-bit security).
+
+Round constants and the MDS matrix are generated deterministically from a
+BLAKE2b-seeded stream (the C++ reference cannot be built here, so vectors
+are self-generated; the generation procedure is pinned by this module and
+tests).  The hasher speaks the same *bytes* interface as Blake2bHashing —
+digests are canonically-serialized field elements — so the Merkle tree and
+transcript layers are hash-agnostic.
+
+The hot path (batched leaf hashing over 2^20 columns) has a device-batched
+variant operating on (L, state, N) limb tensors; the host-int path serves
+the sequential hashchain.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Sequence
+
+from ..fields.prime import PrimeField
+
+
+def _stream(seed: bytes, p: int):
+    """Deterministic field-element stream via BLAKE2b expansion."""
+    ctr = 0
+    nbytes = (p.bit_length() + 7) // 8 + 16
+    while True:
+        out = hashlib.blake2b(seed + ctr.to_bytes(8, "little"),
+                              digest_size=min(64, nbytes)).digest()
+        ctr += 1
+        yield int.from_bytes(out, "little") % p
+
+
+class PoseidonParams:
+    def __init__(self, F: PrimeField, state_size: int = 3, rate: int = 2,
+                 alpha: int = 5, full_rounds: int = 8, partial_rounds: int = 57):
+        assert rate < state_size
+        self.F = F
+        self.p = F.p
+        self.state_size = state_size
+        self.rate = rate
+        self.capacity = state_size - rate
+        self.alpha = alpha
+        self.full_rounds = full_rounds
+        self.partial_rounds = partial_rounds
+        total = full_rounds + partial_rounds
+        gen = _stream(b"libiop-tpu/poseidon/rc/" + F.name.encode(), self.p)
+        self.round_constants = [[next(gen) for _ in range(state_size)]
+                                for _ in range(total)]
+        # Cauchy MDS matrix: M[i][j] = 1/(x_i + y_j) with distinct x, y
+        xs = list(range(state_size))
+        ys = list(range(state_size, 2 * state_size))
+        self.mds = [[pow((xi + yj) % self.p, self.p - 2, self.p)
+                     for yj in ys] for xi in xs]
+
+    # -- host-int permutation ---------------------------------------------
+    def permute(self, state: List[int]) -> List[int]:
+        p = self.p
+        t = self.state_size
+        s = [v % p for v in state]
+        half = self.full_rounds // 2
+        rounds = []
+        for r in range(half):
+            rounds.append(("full", r))
+        for r in range(self.partial_rounds):
+            rounds.append(("partial", half + r))
+        for r in range(half):
+            rounds.append(("full", half + self.partial_rounds + r))
+        for kind, r in rounds:
+            rc = self.round_constants[r]
+            s = [(v + c) % p for v, c in zip(s, rc)]
+            if kind == "full":
+                s = [pow(v, self.alpha, p) for v in s]
+            else:
+                s[0] = pow(s[0], self.alpha, p)
+            s = [sum(self.mds[i][j] * s[j] for j in range(t)) % p
+                 for i in range(t)]
+        return s
+
+
+class AlgebraicSponge:
+    """Rate/capacity sponge with absorb/squeeze state machine
+    (algebraic_sponge.hpp:30-64 role)."""
+
+    def __init__(self, params: PoseidonParams):
+        self.params = params
+        self.state = [0] * params.state_size
+        self._absorb_pos = 0
+        self._squeeze_pos = params.rate  # force permute before first squeeze
+
+    def absorb(self, values: Sequence[int]):
+        p = self.params
+        for v in values:
+            if self._absorb_pos == p.rate:
+                self.state = p.permute(self.state)
+                self._absorb_pos = 0
+            self.state[self._absorb_pos] = (
+                self.state[self._absorb_pos] + int(v)) % p.p
+            self._absorb_pos += 1
+        self._squeeze_pos = p.rate
+
+    def squeeze(self, n: int) -> List[int]:
+        p = self.params
+        out = []
+        for _ in range(n):
+            if self._squeeze_pos == p.rate:
+                self.state = p.permute(self.state)
+                self._squeeze_pos = 0
+                self._absorb_pos = 0
+            out.append(self.state[self._squeeze_pos])
+            self._squeeze_pos += 1
+        return out
+
+
+class PoseidonHashing:
+    """Bytes-interface hash suite (duck-type peer of Blake2bHashing): digests
+    are canonically-serialized field elements."""
+
+    name = "poseidon"
+    algebraic = True
+
+    def __init__(self, F: PrimeField, security_bits: int = 128):
+        self.F = F
+        self.params = PoseidonParams(F)
+        self.security_bits = security_bits
+        self.digest_bytes = F.elem_bytes
+        self.salt_bytes = F.elem_bytes
+
+    def _bytes_to_elements(self, data: bytes) -> List[int]:
+        eb = self.F.elem_bytes
+        if len(data) % eb:
+            data = data + b"\x00" * (eb - len(data) % eb)
+        return [int.from_bytes(data[i:i + eb], "little") % self.F.p
+                for i in range(0, len(data), eb)]
+
+    def _elem_to_bytes(self, v: int) -> bytes:
+        return int(v).to_bytes(self.F.elem_bytes, "little")
+
+    def leaf_hash(self, data: bytes) -> bytes:
+        sponge = AlgebraicSponge(self.params)
+        sponge.absorb(self._bytes_to_elements(data))
+        return self._elem_to_bytes(sponge.squeeze(1)[0])
+
+    def two_to_one(self, left: bytes, right: bytes) -> bytes:
+        l_val = int.from_bytes(left, "little") % self.F.p
+        r_val = int.from_bytes(right, "little") % self.F.p
+        out = self.params.permute([l_val, r_val, 0])
+        return self._elem_to_bytes(out[0])
+
+
+class PoseidonHashchain:
+    """Fiat–Shamir hashchain over the algebraic sponge (peer of
+    Blake2bHashchain — same method surface)."""
+
+    def __init__(self, F: PrimeField, security_bits: int = 128):
+        self.F = F
+        self.params = PoseidonParams(F)
+        self.sponge = AlgebraicSponge(self.params)
+        self.digest_bytes = F.elem_bytes
+
+    @property
+    def state(self) -> bytes:
+        return b"".join(int(v).to_bytes(self.F.elem_bytes, "little")
+                        for v in self.sponge.state)
+
+    def absorb_bytes(self, data: bytes):
+        eb = self.F.elem_bytes
+        vals = [int.from_bytes(data[i:i + eb], "little") % self.F.p
+                for i in range(0, len(data), eb)]
+        if not vals:
+            vals = [0]
+        self.sponge.absorb(vals)
+
+    def absorb_root(self, root: bytes):
+        self.sponge.absorb([int.from_bytes(root, "little") % self.F.p])
+
+    def absorb_field_elements(self, values: Sequence[int]):
+        self.sponge.absorb([0] + [int(v) % self.F.p for v in values])
+
+    def squeeze_field_elements(self, n: int) -> List[int]:
+        return self.sponge.squeeze(n)
+
+    def squeeze_query_positions(self, n: int, domain_size: int) -> List[int]:
+        assert domain_size & (domain_size - 1) == 0
+        return [v & (domain_size - 1) for v in self.sponge.squeeze(n)]

@@ -22,7 +22,7 @@ class BCSProver(IOPProtocol):
     def __init__(self, field: PrimeField, params: BCSParameters):
         super().__init__(field)
         self.params = params
-        self.hasher = params.make_hasher()
+        self.hasher = params.make_hasher(field)
         self.hashchain = params.make_hashchain(field)
         self.pow = params.make_pow()
         self.merkle_trees: Dict[Tuple[int, int], MerkleTree] = {}

@@ -29,7 +29,7 @@ class BCSVerifier(IOPProtocol):
                  transcript: BCSTranscript):
         super().__init__(field)
         self.params = params
-        self.hasher = params.make_hasher()
+        self.hasher = params.make_hasher(field)
         self.hashchain = params.make_hashchain(field)
         self.pow = params.make_pow()
         self.transcript = transcript

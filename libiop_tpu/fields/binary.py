@@ -1,0 +1,290 @@
+"""Binary extension fields GF(2^k), k in {64, 128, 192, 256}.
+
+Counterpart of libff's gf64/gf128/gf192/gf256 (SURVEY.md §2.1) with the
+standard low-weight reduction pentanomials:
+    gf64 : x^64  + x^4  + x^3 + x + 1
+    gf128: x^128 + x^7  + x^2 + x + 1
+    gf192: x^192 + x^7  + x^2 + x + 1
+    gf256: x^256 + x^10 + x^5 + x^2 + 1
+
+TPU-native design: an element batch is a ``uint32`` array of shape
+``(W, *batch)`` (words-first, W = k/32, bit j of word i = coefficient of
+x^{32i+j}).  TPUs have no carry-less multiply, so:
+
+* ``mul`` is a bit-serial shift-and-xor over the 2W-word product accumulator,
+  expressed as one ``lax.scan`` over the k bits of the left operand — k steps
+  of O(W) full-width vector ops, O(1) graph size;
+* reduction folds the high words through the pentanomial taps in two passes
+  (word-level shifts, no data-dependent control flow);
+* ``square`` spreads bits via log-step mask-shift networks (no multiplies);
+* ``inv`` is Fermat (x^(2^k-2)) via square-and-multiply over the fixed
+  exponent pattern — k-1 squarings and k-1 multiplies, fully data-parallel.
+
+Addition is XOR; the field has characteristic 2 (``kind = "additive"``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _int_to_words(x: int, W: int) -> np.ndarray:
+    out = np.zeros(W, dtype=np.uint32)
+    for i in range(W):
+        out[i] = (x >> (32 * i)) & 0xFFFFFFFF
+    assert x >> (32 * W) == 0
+    return out
+
+
+class BinaryField:
+    kind = "additive"
+
+    def __init__(self, k: int, taps: Sequence[int], name: str):
+        assert k % 32 == 0
+        self.k = k
+        self.bits = k
+        self.W = k // 32
+        #: number of leading "limb rows" in the array layout (API parity with
+        #: PrimeField.L)
+        self.L = self.W
+        self.taps = tuple(sorted(taps))  # low-order exponents, excluding x^k
+        assert max(self.taps) < 32
+        self.name = name
+        self.elem_bytes = k // 8
+        self.extension_degree = k  # over F2
+        #: modulus as an int (x^k + sum taps)
+        self.modulus_int = (1 << k) | sum(1 << t for t in self.taps)
+        self.j = _JittedOps(self)
+
+    # -- host conversions --------------------------------------------------
+    def from_ints(self, xs, shape=None) -> jax.Array:
+        arr = np.asarray(xs, dtype=object)
+        if shape is None:
+            shape = arr.shape
+        flat = arr.reshape(-1)
+        out = np.zeros((self.W, flat.size), dtype=np.uint32)
+        for idx, v in enumerate(flat):
+            out[:, idx] = _int_to_words(int(v), self.W)
+        return jnp.asarray(out.reshape((self.W,) + tuple(shape)))
+
+    def to_ints(self, words) -> np.ndarray:
+        arr = np.asarray(jax.device_get(words)).astype(np.uint64)
+        batch_shape = arr.shape[1:]
+        flat = arr.reshape(self.W, -1)
+        out = np.empty(flat.shape[1], dtype=object)
+        for idx in range(flat.shape[1]):
+            x = 0
+            for i in range(self.W):
+                x |= int(flat[i, idx]) << (32 * i)
+            out[idx] = x
+        return out.reshape(batch_shape)
+
+    def to_int(self, words) -> int:
+        return int(self.to_ints(words).reshape(-1)[0])
+
+    def zeros(self, shape=()) -> jax.Array:
+        return jnp.zeros((self.W,) + tuple(shape), dtype=jnp.uint32)
+
+    def ones(self, shape=()) -> jax.Array:
+        z = np.zeros((self.W,) + (1,) * len(tuple(shape)), np.uint32)
+        z[0] = 1
+        return jnp.broadcast_to(jnp.asarray(z), (self.W,) + tuple(shape)
+                                ).astype(jnp.uint32)
+
+    def random(self, shape=(), rng: np.random.Generator | None = None) -> jax.Array:
+        rng = rng or np.random.default_rng()
+        n = int(np.prod(shape)) if shape else 1
+        vals = [int.from_bytes(rng.bytes(self.elem_bytes), "little") for _ in range(n)]
+        return self.from_ints(np.array(vals, dtype=object).reshape(shape or ()))
+
+    # -- host int arithmetic (for pointwise verifier math) -----------------
+    def mul_ints(self, a: int, b: int) -> int:
+        res = 0
+        while b:
+            if b & 1:
+                res ^= a
+            b >>= 1
+            a <<= 1
+            if a >> self.k & 1:
+                a ^= self.modulus_int
+        # ensure full reduction (a may exceed k bits transiently only by shift)
+        return res if res < (1 << self.k) else self._reduce_int(res)
+
+    def _reduce_int(self, x: int) -> int:
+        while x.bit_length() > self.k:
+            shift = x.bit_length() - 1 - self.k
+            x ^= self.modulus_int << shift
+        return x
+
+    def inv_int(self, a: int) -> int:
+        assert a != 0
+        # Fermat: a^(2^k - 2)
+        result = 1
+        base = a
+        e = (1 << self.k) - 2
+        while e:
+            if e & 1:
+                result = self.mul_ints(result, base)
+            base = self.mul_ints(base, base)
+            e >>= 1
+        return result
+
+    # -- ring ops (device) -------------------------------------------------
+    def add(self, a, b):
+        return a ^ b
+
+    def sub(self, a, b):
+        return a ^ b
+
+    def neg(self, a):
+        return a
+
+    def _shift_left_1(self, t):
+        """Shift a (2W, *batch) word array left by one bit (poly * x)."""
+        carry = t >> 31
+        shifted = t << 1
+        shifted = shifted.at[1:].set(shifted[1:] | carry[:-1])
+        return shifted
+
+    def _reduce(self, t):
+        """Reduce a (2W, *batch) product accumulator mod the pentanomial:
+        x^{k + 32i + j} = x^{32i + j} * sum_t x^t.  Two word-level passes —
+        the second folds the <= max(tap) overflow bits that land in word W."""
+        W = self.W
+        for _ in range(2):
+            hi = t[W:]
+            t = t.at[W:].set(jnp.zeros_like(hi))
+            lo = t[:W]
+            over_top = jnp.zeros_like(t[W])
+            for tap in self.taps:
+                if tap == 0:
+                    lo = lo ^ hi
+                else:
+                    lo = lo ^ (hi << tap)
+                    over = hi >> (32 - tap)
+                    lo = lo.at[1:].set(lo[1:] ^ over[:-1])
+                    over_top = over_top ^ over[-1]
+            t = t.at[:W].set(lo)
+            t = t.at[W].set(over_top)
+        return t[:W]
+
+    def mul(self, a, b):
+        """Carry-less product + reduction, bit-serial scan over a's bits."""
+        W = self.W
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (W,) + batch).astype(jnp.uint32)
+        b = jnp.broadcast_to(b, (W,) + batch).astype(jnp.uint32)
+        bshift0 = jnp.concatenate(
+            [b, jnp.zeros((W,) + batch, jnp.uint32)], axis=0)
+        acc0 = jnp.zeros((2 * W,) + batch, dtype=jnp.uint32)
+
+        def body(carry, i):
+            acc, bshift = carry
+            word = i // 32
+            bit = (i % 32).astype(jnp.uint32)
+            aw = jax.lax.dynamic_index_in_dim(a, word, axis=0, keepdims=False)
+            mask = jnp.uint32(0) - ((aw >> bit) & jnp.uint32(1))
+            acc = acc ^ (bshift & mask)
+            bshift = self._shift_left_1(bshift)
+            return (acc, bshift), None
+
+        (acc, _), _ = jax.lax.scan(body, (acc0, bshift0),
+                                   jnp.arange(self.k, dtype=jnp.int32))
+        return self._reduce(acc)
+
+    def square(self, a):
+        """Bit-spreading: interleave zeros between coefficients."""
+        W = self.W
+        batch = a.shape[1:]
+        out = jnp.zeros((2 * W,) + batch, dtype=jnp.uint32)
+        lo = a & jnp.uint32(0xFFFF)
+        hi = a >> 16
+        out = out.at[0:2 * W:2].set(self._spread16(lo))
+        out = out.at[1:2 * W:2].set(self._spread16(hi))
+        return self._reduce(out)
+
+    @staticmethod
+    def _spread16(x):
+        """Spread the low 16 bits of each word across 32 bits (bit i -> 2i)."""
+        x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+        x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+        x = (x | (x << 2)) & jnp.uint32(0x33333333)
+        x = (x | (x << 1)) & jnp.uint32(0x55555555)
+        return x
+
+    def mul_scalar(self, a, s):
+        s = s.reshape((self.W,) + (1,) * (a.ndim - 1))
+        return self.mul(a, s)
+
+    def pow_static(self, a, e: int):
+        if e == 0:
+            return self.ones(a.shape[1:])
+        bits = [int(b) for b in bin(e)[2:]]
+        bits_arr = jnp.asarray(np.array(bits, dtype=np.int32))
+
+        def body(acc, bit):
+            acc = self.square(acc)
+            acc_mul = self.mul(acc, a)
+            return jnp.where(bit == 1, acc_mul, acc), None
+
+        out, _ = jax.lax.scan(body, self.ones(a.shape[1:]), bits_arr)
+        return out
+
+    def inv(self, a):
+        """Fermat a^(2^k - 2); inv(0) = 0."""
+        return self.pow_static(a, (1 << self.k) - 2)
+
+    # -- predicates / misc -------------------------------------------------
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=0)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=0)
+
+    def select(self, pred, a, b):
+        return jnp.where(pred[None, ...], a, b)
+
+    # -- serialization (bit representation IS canonical) -------------------
+    def to_canonical_limbs(self, a):
+        return a
+
+    def from_canonical_limbs(self, a):
+        return a
+
+    def canonical_to_bytes(self, canonical) -> bytes:
+        arr = np.asarray(jax.device_get(canonical)).astype(np.uint32)
+        flat = arr.reshape(self.W, -1).T  # (N, W) little-endian words
+        return flat.astype('<u4').tobytes()
+
+
+class _JittedOps:
+    def __init__(self, F: BinaryField):
+        self.add = jax.jit(F.add)
+        self.sub = jax.jit(F.sub)
+        self.mul = jax.jit(F.mul)
+        self.square = jax.jit(F.square)
+        self.inv = jax.jit(F.inv)
+
+
+@functools.lru_cache(maxsize=None)
+def gf64() -> BinaryField:
+    return BinaryField(64, (4, 3, 1, 0), "gf64")
+
+
+@functools.lru_cache(maxsize=None)
+def gf128() -> BinaryField:
+    return BinaryField(128, (7, 2, 1, 0), "gf128")
+
+
+@functools.lru_cache(maxsize=None)
+def gf192() -> BinaryField:
+    return BinaryField(192, (7, 2, 1, 0), "gf192")
+
+
+@functools.lru_cache(maxsize=None)
+def gf256() -> BinaryField:
+    return BinaryField(256, (10, 5, 2, 0), "gf256")

@@ -196,16 +196,25 @@ class PrimeField:
         """Montgomery product: a·b·R^{-1} mod p."""
         L = self.L
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        t = jnp.zeros((2 * L + 2,) + batch, dtype=jnp.uint32)
+        npad = len(batch)
+
+        def _pad_rows(x, before, total):
+            # place rows of x at offset `before` inside `total` rows (fusable
+            # pad+add instead of scatter — XLA compiles this far faster)
+            return jnp.pad(x, [(before, total - before - x.shape[0])]
+                           + [(0, 0)] * npad)
+
+        T = 2 * L + 2
+        t = jnp.zeros((T,) + batch, dtype=jnp.uint32)
         # Tensorized schoolbook product, split-accumulate: O(L) tensor ops,
         # each at full VPU width over the batch. Column sums < 2^23, inside
         # the uint32 headroom, so carries propagate exactly once at the end.
         for i in range(L):
             pi = a[i][None] * b            # (L, *batch), < 2^32 exact
-            t = t.at[i:i + L].add(pi & LIMB_MASK)
-            t = t.at[i + 1:i + L + 1].add(pi >> LIMB_BITS)
+            t = t + _pad_rows(pi & LIMB_MASK, i, T)
+            t = t + _pad_rows(pi >> LIMB_BITS, i + 1, T)
         # Montgomery reduction, 16 bits at a time
-        p_col = jnp.asarray(self.p_limbs).reshape((L,) + (1,) * len(batch))
+        p_col = jnp.asarray(self.p_limbs).reshape((L,) + (1,) * npad)
         for i in range(L):
             c = t[i] >> LIMB_BITS
             ti = t[i] & LIMB_MASK
@@ -213,9 +222,10 @@ class PrimeField:
             mp = m[None] * p_col           # (L, *batch)
             lo = mp & LIMB_MASK
             hi = mp >> LIMB_BITS
-            t = t.at[i + 1].add(c + ((ti + lo[0]) >> LIMB_BITS))
-            t = t.at[i + 1:i + L].add(lo[1:])
-            t = t.at[i + 1:i + L + 1].add(hi)
+            head = (c + ((ti + lo[0]) >> LIMB_BITS))[None]
+            t = t + _pad_rows(head, i + 1, T)
+            t = t + _pad_rows(lo[1:], i + 1, T)
+            t = t + _pad_rows(hi, i + 1, T)
         res = self._carry_canonicalize([t[k] for k in range(L, 2 * L + 2)])
         return jnp.stack(self._cond_sub_p(res[:self.L + 1]))
 
@@ -235,10 +245,17 @@ class PrimeField:
         L = self.L
         K = t.shape[0]
         batch = t.shape[1:]
-        if K < 2 * L + 2:
+        npad = len(batch)
+        T = 2 * L + 2
+        if K < T:
             t = jnp.concatenate(
-                [t, jnp.zeros((2 * L + 2 - K,) + batch, dtype=jnp.uint32)], axis=0)
-        p_col = jnp.asarray(self.p_limbs).reshape((L,) + (1,) * len(batch))
+                [t, jnp.zeros((T - K,) + batch, dtype=jnp.uint32)], axis=0)
+
+        def _pad_rows(x, before):
+            return jnp.pad(x, [(before, T - before - x.shape[0])]
+                           + [(0, 0)] * npad)
+
+        p_col = jnp.asarray(self.p_limbs).reshape((L,) + (1,) * npad)
         for i in range(L):
             c = t[i] >> LIMB_BITS
             ti = t[i] & LIMB_MASK
@@ -246,9 +263,10 @@ class PrimeField:
             mp = m[None] * p_col
             lo = mp & LIMB_MASK
             hi = mp >> LIMB_BITS
-            t = t.at[i + 1].add(c + ((ti + lo[0]) >> LIMB_BITS))
-            t = t.at[i + 1:i + L].add(lo[1:])
-            t = t.at[i + 1:i + L + 1].add(hi)
+            head = (c + ((ti + lo[0]) >> LIMB_BITS))[None]
+            t = t + _pad_rows(head, i + 1)
+            t = t + _pad_rows(lo[1:], i + 1)
+            t = t + _pad_rows(hi, i + 1)
         res = self._carry_canonicalize([t[k] for k in range(L, 2 * L + 2)])
         return jnp.stack(self._cond_sub_p(res[:self.L + 1]))
 

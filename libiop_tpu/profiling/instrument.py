@@ -1,0 +1,135 @@
+"""Instrumentation CLI: sweep SNARK sizes, print timing + argument size.
+
+Counterpart of libiop/profiling/instrument_{aurora,fractal,ligero}_snark.cpp
++ boost_profile.cpp flags (--log_n_min/max --security_level --make_zk
+--hash_enum --optimize_localization; instrument_aurora_snark.cpp:29-60).
+
+Usage:
+  python -m libiop_tpu.profiling.instrument --snark aurora \
+      --log_n_min 6 --log_n_max 8 --security_level 64 --make_zk 0
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_aurora(log_n, args, F):
+    from ..relations.examples import generate_r1cs_example
+    from ..snark.aurora import (AuroraSnarkParams, aurora_snark_prover,
+                                aurora_snark_verifier)
+    n = 1 << log_n
+    cs, primary, aux = generate_r1cs_example(
+        F, n, (1 << 4) - 1, n - 1, np.random.default_rng(0))
+    params = AuroraSnarkParams(
+        security_parameter=args.security_level,
+        RS_extra_dimensions=args.rs_extra_dimensions,
+        fri_localization_parameter=args.localization_parameter,
+        make_zk=bool(args.make_zk), hash_name=args.hash_enum,
+        pow_bits=args.pow_bits)
+    t0 = time.time()
+    proof = aurora_snark_prover(cs, primary, aux, params)
+    t_prove = time.time() - t0
+    blob = proof.serialize()
+    t0 = time.time()
+    ok = aurora_snark_verifier(cs, primary, proof, params)
+    t_verify = time.time() - t0
+    return dict(prover_s=round(t_prove, 2), verifier_s=round(t_verify, 2),
+                argument_bytes=len(blob), accepted=ok)
+
+
+def run_fractal(log_n, args, F):
+    from ..relations.examples import generate_r1cs_example
+    from ..snark.fractal import (FractalSnarkParams, fractal_snark_indexer,
+                                 fractal_snark_prover, fractal_snark_verifier)
+    n = 1 << log_n
+    cs, primary, aux = generate_r1cs_example(
+        F, n, (1 << 4) - 1, n - 1, np.random.default_rng(0))
+    params = FractalSnarkParams(
+        security_parameter=args.security_level,
+        RS_extra_dimensions=args.rs_extra_dimensions,
+        fri_localization_parameter=args.localization_parameter,
+        make_zk=bool(args.make_zk), hash_name=args.hash_enum,
+        pow_bits=args.pow_bits)
+    t0 = time.time()
+    pidx, vidx = fractal_snark_indexer(cs, params)
+    t_index = time.time() - t0
+    t0 = time.time()
+    proof = fractal_snark_prover(cs, primary, aux, pidx, params)
+    t_prove = time.time() - t0
+    blob = proof.serialize()
+    t0 = time.time()
+    ok = fractal_snark_verifier(cs, primary, vidx, proof, params)
+    t_verify = time.time() - t0
+    return dict(indexer_s=round(t_index, 2), prover_s=round(t_prove, 2),
+                verifier_s=round(t_verify, 2), argument_bytes=len(blob),
+                accepted=ok)
+
+
+def run_ligero(log_n, args, F):
+    from ..iop.runtime import IOPProtocol
+    from ..protocols.ligero import LigeroIOP, LigeroIOPParams
+    from ..relations.examples import generate_r1cs_example
+    n = 1 << log_n
+    cs, primary, aux = generate_r1cs_example(
+        F, n, (1 << 4) - 1, n - 1, np.random.default_rng(0))
+    params = LigeroIOPParams(
+        F, security_parameter=args.security_level,
+        RS_extra_dimensions=args.rs_extra_dimensions,
+        height_width_ratio=args.height_width_ratio,
+        make_zk=bool(args.make_zk),
+        num_constraints=n, num_variables=n - 1)
+    iop = IOPProtocol(F, seed=0)
+    lig = LigeroIOP(iop, cs, params)
+    lig.register_interactions()
+    iop.seal_interaction_registrations()
+    lig.register_queries()
+    iop.seal_query_registrations()
+    t0 = time.time()
+    lig.produce_proof(primary, aux)
+    t_prove = time.time() - t0
+    t0 = time.time()
+    ok = lig.verifier_predicate(primary)
+    t_verify = time.time() - t0
+    return dict(prover_s=round(t_prove, 2), verifier_s=round(t_verify, 2),
+                accepted=ok, mode="interactive")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--snark", choices=["aurora", "fractal", "ligero"],
+                    default="aurora")
+    ap.add_argument("--log_n_min", type=int, default=6)
+    ap.add_argument("--log_n_max", type=int, default=8)
+    ap.add_argument("--security_level", type=int, default=64)
+    ap.add_argument("--field_size", type=int, default=181,
+                    choices=[181, 254], help="181=edwards_Fr, 254=alt_bn128_Fr")
+    ap.add_argument("--make_zk", type=int, default=0)
+    ap.add_argument("--hash_enum", default="blake2b",
+                    choices=["blake2b", "poseidon"])
+    ap.add_argument("--rs_extra_dimensions", type=int, default=3)
+    ap.add_argument("--localization_parameter", type=int, default=2)
+    ap.add_argument("--height_width_ratio", type=float, default=1.0)
+    ap.add_argument("--pow_bits", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..fields.prime import edwards_fr, alt_bn128_fr
+    F = edwards_fr() if args.field_size == 181 else alt_bn128_fr()
+    runner = {"aurora": run_aurora, "fractal": run_fractal,
+              "ligero": run_ligero}[args.snark]
+    for log_n in range(args.log_n_min, args.log_n_max + 1):
+        result = runner(log_n, args, F)
+        print(json.dumps({"snark": args.snark, "log_n": log_n,
+                          "field": F.name, **result}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

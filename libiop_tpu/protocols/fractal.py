@@ -55,30 +55,38 @@ class FractalIOPParams:
         F = self.F
         query_bits = self.security_parameter + 1 - self.pow_bits
         interactive_bits = self.security_parameter + 3
-        loc_array = FRIParameters.localization_parameter_to_array(
-            localization_parameter, self.codeword_domain_dim,
-            self.RS_extra_dimensions)
-        self.encoded_params = EncodedAuroraParams(
-            F, interactive_bits, self.codeword_domain_dim,
-            self.matrix_domain_dim, self.matrix_domain_dim, 0, False,
-            holographic=True, index_domain_dim=self.index_domain_dim)
-        tested = FRIParameters.next_testable_degree_bound(
-            self.encoded_params.max_tested_degree_bound(), loc_array)
-        constraint = self.encoded_params.max_constraint_degree_bound()
-        self.ldt_reducer_params = LDTReducerParams(
-            F, interactive_bits, ldt_reducer_soundness_type,
-            self.codeword_domain_dim, tested, constraint, self.make_zk)
-        self.fri_params = FRIParameters(
-            F, interactive_bits, query_bits, fri_soundness_type, tested,
-            self.codeword_domain_dim, self.RS_extra_dimensions,
-            self.ldt_reducer_params.absolute_proximity_parameter, loc_array)
-        self.query_bound = (self.fri_params.num_query_repetitions
-                            << loc_array[0])
-        self.encoded_params = EncodedAuroraParams(
-            F, interactive_bits, self.codeword_domain_dim,
-            self.matrix_domain_dim, self.matrix_domain_dim,
-            self.query_bound, self.make_zk, holographic=True,
-            index_domain_dim=self.index_domain_dim)
+        # fixed point over the zk query bound, growing the codeword domain
+        # when the tested degree no longer fits (aurora_iop.tcc:115-185 shape)
+        estimated, last = 0, -1
+        while estimated != last:
+            loc_array = FRIParameters.localization_parameter_to_array(
+                localization_parameter, self.codeword_domain_dim,
+                self.RS_extra_dimensions)
+            query_bound = estimated if self.make_zk else 0
+            self.encoded_params = EncodedAuroraParams(
+                F, interactive_bits, self.codeword_domain_dim,
+                self.matrix_domain_dim, self.matrix_domain_dim, query_bound,
+                self.make_zk, holographic=True,
+                index_domain_dim=self.index_domain_dim)
+            tested = FRIParameters.next_testable_degree_bound(
+                self.encoded_params.max_tested_degree_bound(), loc_array)
+            constraint = self.encoded_params.max_constraint_degree_bound()
+            if tested > 1 << (self.codeword_domain_dim - self.RS_extra_dimensions):
+                self.codeword_domain_dim += 1
+                estimated, last = 0, -1
+                continue
+            self.ldt_reducer_params = LDTReducerParams(
+                F, interactive_bits, ldt_reducer_soundness_type,
+                self.codeword_domain_dim, tested, constraint, self.make_zk)
+            self.fri_params = FRIParameters(
+                F, interactive_bits, query_bits, fri_soundness_type, tested,
+                self.codeword_domain_dim, self.RS_extra_dimensions,
+                self.ldt_reducer_params.absolute_proximity_parameter, loc_array)
+            last = estimated
+            estimated = self.fri_params.num_query_repetitions << loc_array[0]
+            if not self.make_zk:
+                break
+        self.query_bound = estimated if self.make_zk else 0
 
 
 class FractalIOP:

@@ -1,0 +1,122 @@
+"""FRI localization-parameter optimizer: brute-force search over localization
+vectors minimizing predicted BCS argument size.
+
+Counterpart of libiop/protocols/ldt/fri/argument_size_optimizer.{hpp,tcc}
+(used by the instrument CLIs with --optimize_localization=1,
+instrument_aurora_snark.cpp:124-148): for each candidate vector [1, e2, e3..]
+with sum <= codeword_dim - RS_extra, predict
+
+  argument size ~= sum over FRI rounds of
+      (revealed leaf bytes) + (expected pruned Merkle path digests)
+  + final polynomial bytes + BCS digests/pow overhead
+
+using the expected-pruned-path count for q random leaves of a depth-d tree
+(merkle_tree count_hashes_to_verify model), and pick the arg-min.
+"""
+from __future__ import annotations
+
+import math
+from itertools import product
+from typing import List, Tuple
+
+from ..fields.prime import PrimeField
+from .fri import FRIParameters, FRISoundnessType
+
+
+def expected_pruned_path_digests(depth: int, num_queries: int) -> float:
+    """Expected number of auxiliary digests in a pruned multi-proof for
+    num_queries uniform leaves of a 2^depth-leaf tree: at level l (from the
+    leaves) there are 2^(depth-l) nodes; each *sibling* of a known node is
+    revealed unless it is itself derivable.  E[digests at level l] ~=
+    E[#known nodes at level l+... ] — we use the standard approximation
+    E[#revealed] = sum_l E[#nodes needed at level l] - E[#nodes at l+1]."""
+    total = 0.0
+    m = num_queries
+    nodes = 2.0 ** depth
+    expected_known = m - m * (m - 1) / (2 * nodes)  # distinct leaves approx
+    prev = expected_known
+    for _ in range(depth):
+        nodes /= 2
+        nxt = nodes * (1 - (1 - 1 / nodes) ** prev) if nodes > 0 else 1
+        # siblings needed = 2*nxt - prev (each parent needs both children)
+        total += max(0.0, 2 * nxt - prev)
+        prev = nxt
+    return total
+
+
+def predict_argument_size(F: PrimeField, params: FRIParameters,
+                          num_input_oracles: int, digest_bytes: int) -> float:
+    """Predicted transcript bytes for the FRI phase + final polys."""
+    eb = F.elem_bytes
+    q = params.num_query_repetitions
+    ni = params.num_interactive_repetitions
+    dim = params.codeword_domain_dim
+    total = 0.0
+    # round 0: input oracles over codeword domain, coset size 2^eta0
+    etas = params.localization_parameters
+    cur_dim = dim
+    for i, eta in enumerate(etas):
+        leaves_dim = cur_dim - eta
+        oracles = num_input_oracles if i == 0 else ni
+        coset = 1 << eta
+        # revealed leaf bytes: q distinct leaves x oracles x coset elements
+        total += q * oracles * coset * eb
+        total += expected_pruned_path_digests(leaves_dim, q) * digest_bytes
+        cur_dim -= eta
+    final_deg = params.poly_degree_bound >> sum(etas)
+    total += ni * max(1, final_deg) * eb
+    return total
+
+
+def optimize_localization_parameters(
+        F: PrimeField, security_parameter: int, tested_degree_bound: int,
+        codeword_domain_dim: int, RS_extra_dimensions: int,
+        absolute_proximity_parameter: int,
+        num_input_oracles: int, digest_bytes: int = 32,
+        soundness_type: str = FRISoundnessType.heuristic,
+        max_eta: int = 4) -> Tuple[List[int], float]:
+    """Search localization vectors [1, e, e, ...] and general non-uniform
+    tails, returning (best_vector, predicted_bytes).
+    (argument_size_optimizer.hpp:21-52 role.)"""
+    budget = codeword_domain_dim - RS_extra_dimensions - 1
+    best = None
+    best_size = math.inf
+    # enumerate vectors: first entry 1, then up to `budget` entries in 1..max_eta
+    def candidates():
+        seen = set()
+        for eta in range(1, max_eta + 1):
+            rest = budget - 1
+            vec = [1] + [eta] * (rest // eta)
+            key = tuple(vec)
+            if key not in seen and sum(vec) <= budget + 1:
+                seen.add(key)
+                yield vec
+        # non-uniform two-level tails
+        for e1 in range(1, max_eta + 1):
+            for e2 in range(1, max_eta + 1):
+                n1 = (budget - 1) // (2 * e1)
+                n2 = max(0, (budget - 1 - n1 * e1) // e2)
+                vec = [1] + [e1] * n1 + [e2] * n2
+                key = tuple(vec)
+                if vec and key not in seen and sum(vec) <= budget + 1:
+                    seen.add(key)
+                    yield vec
+
+    for vec in candidates():
+        rounded = FRIParameters.next_testable_degree_bound(
+            tested_degree_bound, vec)
+        if rounded > 1 << (codeword_domain_dim - RS_extra_dimensions):
+            continue
+        try:
+            params = FRIParameters(
+                F, security_parameter + 3, security_parameter + 1,
+                soundness_type, rounded, codeword_domain_dim,
+                RS_extra_dimensions, absolute_proximity_parameter, vec)
+        except (ValueError, ZeroDivisionError):
+            continue
+        size = predict_argument_size(F, params, num_input_oracles, digest_bytes)
+        if size < best_size:
+            best_size = size
+            best = vec
+    assert best is not None, "no feasible localization vector"
+    return best, best_size

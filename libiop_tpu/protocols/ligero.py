@@ -512,6 +512,11 @@ class LigeroIOPParams:
         if not self.make_zk:
             self.query_bound = 0
             abs_prox = prox(0)
+            if abs_prox < 1:
+                self.RS_extra_dimensions += 1
+                self.codeword_domain_dim += 1
+                self._set_soundness(soundness_type)
+                return
             self.direct_ldt_params = DirectLDTParams(
                 query_bits, max_tested, self.RS_extra_dimensions, abs_prox)
             q_err = (2 * sys_size - 2) / N
@@ -522,12 +527,12 @@ class LigeroIOPParams:
             while estimated != last:
                 qb = estimated + 1
                 q_num = 2 * sys_size + 2 * qb - 2
-                if q_num + 1 > N:
+                abs_prox = prox(qb)
+                if q_num + 1 > N or abs_prox < 1:
                     self.RS_extra_dimensions += 1
                     self.codeword_domain_dim += 1
                     self._set_soundness(soundness_type)
                     return
-                abs_prox = prox(qb)
                 self.direct_ldt_params = DirectLDTParams(
                     query_bits, max_tested, self.RS_extra_dimensions, abs_prox)
                 per_query = math.log2(q_num / N + abs_prox / N)

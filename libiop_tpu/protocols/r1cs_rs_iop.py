@@ -134,10 +134,13 @@ class EncodedAuroraParams:
 
     def max_tested_degree_bound(self) -> int:
         """r1cs_rs_iop.tcc:56-77 formulas; holographic bounds use the actual
-        index domain (3|K|) rather than the reference's 3|H| approximation."""
+        index domain (3|K|) rather than the reference's 3|H| approximation,
+        and include the zk query-bound contribution the reference's TODO
+        acknowledges omitting."""
         if self.holographic:
-            lincheck = 3 * (1 << max(self.index_domain_dim,
-                                     self.constraint_domain_dim))
+            lincheck = max(
+                3 * (1 << max(self.index_domain_dim, self.constraint_domain_dim)),
+                2 * (1 << self.summation_domain_dim) + self.query_bound - 1)
         elif not self.make_zk:
             return 1 << self.summation_domain_dim
         else:
