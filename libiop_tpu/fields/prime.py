@@ -90,20 +90,28 @@ class PrimeField:
         if shape is None:
             shape = arr.shape
         flat = arr.reshape(-1)
-        out = np.zeros((self.L, flat.size), dtype=np.uint32)
+        eb = self.elem_bytes
+        buf = bytearray(flat.size * eb)
+        p, R = self.p, self.R
         for k, v in enumerate(flat):
-            out[:, k] = _int_to_limbs((int(v) * self.R) % self.p, self.L)
-        return jnp.asarray(out.reshape((self.L,) + tuple(shape)))
+            buf[k * eb:(k + 1) * eb] = (int(v) * R % p).to_bytes(eb, "little")
+        out = np.frombuffer(bytes(buf), dtype="<u2").reshape(flat.size, self.L)
+        return jnp.asarray(out.T.astype(np.uint32).reshape(
+            (self.L,) + tuple(shape)))
 
     def to_ints(self, limbs) -> np.ndarray:
-        """Montgomery limb array -> canonical ints (object ndarray)."""
-        arr = np.asarray(jax.device_get(limbs))
-        batch_shape = arr.shape[1:]
-        flat = arr.reshape(self.L, -1)
-        Rinv = pow(self.R, -1, self.p)
-        out = np.empty(flat.shape[1], dtype=object)
-        for k in range(flat.shape[1]):
-            out[k] = (_limbs_to_int(flat[:, k]) * Rinv) % self.p
+        """Montgomery limb array -> canonical ints (object ndarray).
+
+        One device mul (Montgomery -> canonical), one vectorized byte dump,
+        then a C-speed int.from_bytes per element."""
+        batch_shape = tuple(limbs.shape[1:])
+        canon = self.to_canonical_limbs(limbs)
+        raw = self.canonical_to_bytes(canon)
+        eb = self.elem_bytes
+        n = len(raw) // eb
+        out = np.empty(n, dtype=object)
+        for k in range(n):
+            out[k] = int.from_bytes(raw[k * eb:(k + 1) * eb], "little")
         return out.reshape(batch_shape)
 
     def to_int(self, limbs) -> int:

@@ -24,12 +24,26 @@ def run_aurora(log_n, args, F):
     n = 1 << log_n
     cs, primary, aux = generate_r1cs_example(
         F, n, (1 << 4) - 1, n - 1, np.random.default_rng(0))
+    loc_vector = None
+    if args.optimize_localization:
+        from ..protocols.fri_optimizer import optimize_localization_parameters
+        p0 = AuroraSnarkParams(
+            security_parameter=args.security_level,
+            RS_extra_dimensions=args.rs_extra_dimensions,
+            make_zk=bool(args.make_zk)).iop_params(F, n, n - 1)
+        loc_vector, predicted = optimize_localization_parameters(
+            F, args.security_level, p0.ldt_reducer_params.max_tested_degree_bound,
+            p0.codeword_domain_dim, args.rs_extra_dimensions,
+            p0.ldt_reducer_params.absolute_proximity_parameter,
+            num_input_oracles=9)
+        print(json.dumps({"optimized_localization": loc_vector,
+                          "predicted_fri_bytes": round(predicted)}), flush=True)
     params = AuroraSnarkParams(
         security_parameter=args.security_level,
         RS_extra_dimensions=args.rs_extra_dimensions,
         fri_localization_parameter=args.localization_parameter,
         make_zk=bool(args.make_zk), hash_name=args.hash_enum,
-        pow_bits=args.pow_bits)
+        pow_bits=args.pow_bits, fri_localization_vector=loc_vector)
     t0 = time.time()
     proof = aurora_snark_prover(cs, primary, aux, params)
     t_prove = time.time() - t0
@@ -37,6 +51,8 @@ def run_aurora(log_n, args, F):
     t0 = time.time()
     ok = aurora_snark_verifier(cs, primary, proof, params)
     t_verify = time.time() - t0
+    if args.detailed:
+        proof.print_detailed_report()
     return dict(prover_s=round(t_prove, 2), verifier_s=round(t_verify, 2),
                 argument_bytes=len(blob), accepted=ok)
 
@@ -114,6 +130,10 @@ def main():
     ap.add_argument("--localization_parameter", type=int, default=2)
     ap.add_argument("--height_width_ratio", type=float, default=1.0)
     ap.add_argument("--pow_bits", type=int, default=0)
+    ap.add_argument("--optimize_localization", type=int, default=0,
+                    help="search FRI localization vectors (aurora only)")
+    ap.add_argument("--detailed", action="store_true",
+                    help="print the per-round transcript cost breakdown")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 

@@ -35,7 +35,8 @@ class AuroraIOPParams:
                  fri_localization_parameter: int = 2,
                  fri_soundness_type: str = FRISoundnessType.heuristic,
                  ldt_reducer_soundness_type: str = LDTReducerSoundnessType.optimistic_heuristic,
-                 pow_bits: int = 0):
+                 pow_bits: int = 0,
+                 fri_localization_vector=None):
         assert num_constraints & (num_constraints - 1) == 0, \
             "num_constraints must be a power of two (pad the constraint system)"
         assert (num_variables + 1) & num_variables == 0, \
@@ -52,6 +53,7 @@ class AuroraIOPParams:
         extra_systematic_dims = 2 if make_zk else 0
         self.codeword_domain_dim = (self.summation_domain_dim
                                     + extra_systematic_dims + RS_extra_dimensions)
+        self._fri_localization_vector = fri_localization_vector
         self._set_ldt_parameters(fri_localization_parameter, fri_soundness_type,
                                  ldt_reducer_soundness_type)
 
@@ -60,9 +62,11 @@ class AuroraIOPParams:
         F = self.F
         query_bits = self.security_parameter + 1 - self.pow_bits
         interactive_bits = self.security_parameter + 3
-        loc_array = FRIParameters.localization_parameter_to_array(
-            localization_parameter, self.codeword_domain_dim,
-            self.RS_extra_dimensions)
+        loc_array = (list(self._fri_localization_vector)
+                     if self._fri_localization_vector is not None else
+                     FRIParameters.localization_parameter_to_array(
+                         localization_parameter, self.codeword_domain_dim,
+                         self.RS_extra_dimensions))
         if not self.make_zk:
             self.query_bound = 0
             self.encoded_params = EncodedAuroraParams(

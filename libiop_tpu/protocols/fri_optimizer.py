@@ -34,10 +34,15 @@ def expected_pruned_path_digests(depth: int, num_queries: int) -> float:
     m = num_queries
     nodes = 2.0 ** depth
     expected_known = m - m * (m - 1) / (2 * nodes)  # distinct leaves approx
-    prev = expected_known
+    prev = max(1.0, expected_known)
     for _ in range(depth):
         nodes /= 2
-        nxt = nodes * (1 - (1 - 1 / nodes) ** prev) if nodes > 0 else 1
+        if nodes <= 1:
+            nxt = 1.0
+        else:
+            # E[#occupied parents] for prev known children over `nodes` slots
+            nxt = nodes * -math.expm1(prev * math.log1p(-1.0 / nodes))
+            nxt = min(nxt, nodes, prev)
         # siblings needed = 2*nxt - prev (each parent needs both children)
         total += max(0.0, 2 * nxt - prev)
         prev = nxt

@@ -32,6 +32,9 @@ class AuroraSnarkParams:
     pow_bits: int = 0
     fri_soundness_type: str = FRISoundnessType.heuristic
     ldt_reducer_soundness_type: str = LDTReducerSoundnessType.optimistic_heuristic
+    #: explicit localization vector (e.g. from the fri_optimizer); overrides
+    #: fri_localization_parameter when set
+    fri_localization_vector: Optional[list] = None
     # test-only overrides (None = derive from the security parameter)
     override_fri_queries: Optional[int] = None
     override_fri_interactive_repetitions: Optional[int] = None
@@ -43,7 +46,8 @@ class AuroraSnarkParams:
             F, self.security_parameter, self.RS_extra_dimensions, self.make_zk,
             num_constraints, num_variables, self.fri_localization_parameter,
             self.fri_soundness_type, self.ldt_reducer_soundness_type,
-            self.pow_bits)
+            self.pow_bits,
+            fri_localization_vector=self.fri_localization_vector)
         if self.override_fri_queries is not None:
             p.fri_params.num_query_repetitions = self.override_fri_queries
         if self.override_fri_interactive_repetitions is not None:

@@ -87,6 +87,28 @@ def test_bcs_roundtrip(setup):
         (evals_ints[0][pos] + evals_ints[2][pos]) % F.p
 
 
+def test_transcript_detailed_report(setup):
+    F, dom, evals_ints, params = setup
+    _, _, _, t = _prove(F, dom, evals_ints, params)
+    rep = t.detailed_report()
+    assert rep["total_serialized_bytes"] == len(t.serialize())
+    assert rep["iop_bytes"] > 0 and rep["bcs_overhead_bytes"] > 0
+    assert set(rep["per_tree"]) == set(t.mt_proofs)
+    t.print_detailed_report()  # smoke
+
+
+def test_fri_optimizer_returns_feasible_vector():
+    from libiop_tpu.fields.prime import edwards_fr
+    from libiop_tpu.protocols.fri_optimizer import optimize_localization_parameters
+    F = edwards_fr()
+    vec, size = optimize_localization_parameters(
+        F, security_parameter=64, tested_degree_bound=1 << 10,
+        codeword_domain_dim=13, RS_extra_dimensions=3,
+        absolute_proximity_parameter=(1 << 13) // 4, num_input_oracles=9)
+    assert vec[0] == 1 and sum(vec) <= 13 - 3
+    assert size > 0
+
+
 def test_bcs_tampered_root_rejected(setup):
     F, dom, evals_ints, params = setup
     _, _, _, t = _prove(F, dom, evals_ints, params)
@@ -114,10 +136,18 @@ def test_bcs_tampered_leaf_rejected(setup):
 def test_bcs_wrong_pow_rejected(setup):
     F, dom, evals_ints, params = setup
     _, _, _, t = _prove(F, dom, evals_ints, params)
-    t.pow_nonce += 1
-    v = BCSVerifier(F, params, t)
-    _build(v, F, dom, evals_ints)
-    assert not v.transcript_is_valid()
+    # a wrong nonce still clears the grind with probability 2^-pow_bits, so
+    # scan a few: at least one must be rejected (P[all pass] ~ 2^-48)
+    original = t.pow_nonce
+    rejected = False
+    for delta in range(1, 13):
+        t.pow_nonce = original + delta
+        v = BCSVerifier(F, params, t)
+        _build(v, F, dom, evals_ints)
+        if not v.transcript_is_valid():
+            rejected = True
+            break
+    assert rejected
 
 
 def test_merkle_multiproof_direct(rng):

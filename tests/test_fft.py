@@ -61,6 +61,22 @@ def test_subset_strided_positions():
         assert sub.element_by_index_int(k) == dom.element_by_index_int(k * (64 // 8))
 
 
+def test_scan_butterflies_match_unrolled(rng):
+    """The O(1)-graph scan stage must agree with the unrolled stages."""
+    import jax.numpy as jnp
+    from libiop_tpu.algebra.fft import (_butterfly_stages,
+                                        _butterfly_stages_scan)
+    from libiop_tpu.algebra.domains import bitrev_permutation
+    F = edwards_fr()
+    dom = MultiplicativeCoset(F, dim=7)
+    coeffs = F.from_ints([int(rng.integers(0, 1 << 60)) for _ in range(128)])
+    x = jnp.take(coeffs, jnp.asarray(bitrev_permutation(128)), axis=-1)
+    W = dom.generator_powers()
+    a = _butterfly_stages(F, x, W, 128, first_m=1)
+    b = _butterfly_stages_scan(F, x, W, 128, first_m=1)
+    assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def test_coset_index_roundtrip():
     F = edwards_fr()
     dom = MultiplicativeCoset(F, dim=6)
