@@ -33,8 +33,7 @@ F = edwards_fr()
 dim = {dim}
 N = 1 << dim
 dom = MultiplicativeCoset(F, dim, shift=F.multiplicative_generator)
-dom.generator_powers().block_until_ready()
-dom.shift_powers().block_until_ready()
+dom.generator_powers(); dom.shift_powers()  # host twiddle caches
 coeffs = F.random((N,), np.random.default_rng(7))
 fftmod._SCAN_THRESHOLD = 1  # O(1)-graph path: smallest compile
 ntt = jax.jit(lambda c: fftmod.fft(c, dom))

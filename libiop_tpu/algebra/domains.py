@@ -31,19 +31,19 @@ from ..fields.prime import PrimeField
 import functools
 
 
-def host_powers(F: PrimeField, x_int: int, n: int):
-    """[x^0..x^{n-1}] as a (L, n) Montgomery limb array, computed host-side
-    with Python ints (zero XLA compile cost — preferred for domain caches)."""
+def host_powers(F: PrimeField, x_int: int, n: int, start: int = 1):
+    """[start * x^k, k < n] as a (L, n) Montgomery limb NUMPY array, computed
+    host-side with Python ints (zero XLA compile cost; cache-safe)."""
     p = F.p
     eb = 2 * F.L
-    acc = F.R % p  # Montgomery form of 1
+    acc = (start % p) * F.R % p  # Montgomery form of start
     x_int %= p
     buf = bytearray(n * eb)
     for j in range(n):
         buf[j * eb:(j + 1) * eb] = acc.to_bytes(eb, "little")
         acc = acc * x_int % p
     arr = np.frombuffer(bytes(buf), dtype="<u2").reshape(n, F.L)
-    return jnp.asarray(arr.T.astype(np.uint32))
+    return arr.T.astype(np.uint32)  # numpy: cache-safe inside jit traces
 
 
 def _powers_doubling(F: PrimeField, x, n: int):
@@ -138,13 +138,13 @@ class MultiplicativeCoset:
         return self._gen_powers
 
     def elements(self):
-        """(L, order) device array of shift*g^k (Montgomery), natural order."""
+        """(L, order) array of shift*g^k (Montgomery), natural order."""
         if self._elements is None:
             if self.shift == 1:
                 self._elements = self.generator_powers()
             else:
-                sh = self.field.from_ints([self.shift]).reshape(self.field.L, 1)
-                self._elements = self.field.mul(self.generator_powers(), sh)
+                self._elements = host_powers(self.field, self.g, self.order,
+                                             start=self.shift)
         return self._elements
 
     def inverse_generator_powers(self):
@@ -168,11 +168,13 @@ class MultiplicativeCoset:
         return self._inv_shift_pow
 
     def inverse_elements(self):
-        """(L, order) device array of 1/(shift*g^k) (Montgomery)."""
-        F = self.field
-        inv_shift = F.from_ints(
-            [pow(self.shift, F.p - 2, F.p)]).reshape(F.L, 1)
-        return F.mul(self.inverse_generator_powers(), inv_shift)
+        """(L, order) array of 1/(shift*g^k) (Montgomery); cached numpy."""
+        if getattr(self, "_inv_elements", None) is None:
+            F = self.field
+            self._inv_elements = host_powers(
+                F, pow(self.g, F.p - 2, F.p), self.order,
+                start=pow(self.shift, F.p - 2, F.p))
+        return self._inv_elements
 
     def element_by_index_int(self, index: int) -> int:
         """Canonical int value of the element at ``index`` (host math)."""

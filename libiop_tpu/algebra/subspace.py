@@ -79,7 +79,7 @@ class AffineSubspace:
     def elements(self):
         if self._elements is None:
             ints = subset_sums_ints(self.field, self.basis, self.shift)
-            self._elements = self.field.from_ints(ints)
+            self._elements = self.field.from_ints_np(ints)
         return self._elements
 
     # -- index arithmetic (additive convention: cosets are contiguous) ------
@@ -157,8 +157,8 @@ def additive_fft(coeffs, domain: AffineSubspace):
     if domain._fft_tables is None:
         tw, unwind = _fft_stage_tables(domain)
         domain._fft_tables = (
-            [F.from_ints(t) for t in tw],
-            [F.from_ints(u) for u in unwind])
+            [F.from_ints_np(t) for t in tw],
+            [F.from_ints_np(u) for u in unwind])
     twist_powers, unwind = domain._fft_tables
     m = domain.dim
     S = coeffs
@@ -198,8 +198,8 @@ def additive_ifft(evals, domain: AffineSubspace):
         tw, unwind = _fft_stage_tables(domain)
         inv_tw = []
         for j, t in enumerate(tw):
-            inv_tw.append(F.from_ints([F.inv_int(v) if v else 0 for v in t]))
-        domain._ifft_tables = (inv_tw, [F.from_ints(u) for u in unwind])
+            inv_tw.append(F.from_ints_np([F.inv_int(v) if v else 0 for v in t]))
+        domain._ifft_tables = (inv_tw, [F.from_ints_np(u) for u in unwind])
     inv_twist, unwind = domain._ifft_tables
     S = evals
     # reverse the unwind (note fft's unwind at level j uses block stride 2^j;

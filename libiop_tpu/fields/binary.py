@@ -61,7 +61,8 @@ class BinaryField:
         self.j = _JittedOps(self)
 
     # -- host conversions --------------------------------------------------
-    def from_ints(self, xs, shape=None) -> jax.Array:
+    def from_ints_np(self, xs, shape=None) -> np.ndarray:
+        """Cache-safe NUMPY variant (see PrimeField.from_ints_np)."""
         arr = np.asarray(xs, dtype=object)
         if shape is None:
             shape = arr.shape
@@ -69,7 +70,10 @@ class BinaryField:
         out = np.zeros((self.W, flat.size), dtype=np.uint32)
         for idx, v in enumerate(flat):
             out[:, idx] = _int_to_words(int(v), self.W)
-        return jnp.asarray(out.reshape((self.W,) + tuple(shape)))
+        return out.reshape((self.W,) + tuple(shape))
+
+    def from_ints(self, xs, shape=None) -> jax.Array:
+        return jnp.asarray(self.from_ints_np(xs, shape))
 
     def to_ints(self, words) -> np.ndarray:
         arr = np.asarray(jax.device_get(words)).astype(np.uint64)
@@ -101,7 +105,34 @@ class BinaryField:
         vals = [int.from_bytes(rng.bytes(self.elem_bytes), "little") for _ in range(n)]
         return self.from_ints(np.array(vals, dtype=object).reshape(shape or ()))
 
-    # -- host int arithmetic (for pointwise verifier math) -----------------
+    # -- host int arithmetic (field-generic interface shared with
+    # PrimeField, for pointwise verifier math) -----------------------------
+    @property
+    def field_size(self) -> int:
+        return 1 << self.k
+
+    def add_ints(self, a: int, b: int) -> int:
+        return a ^ b
+
+    def sub_ints(self, a: int, b: int) -> int:
+        return a ^ b
+
+    def neg_int(self, a: int) -> int:
+        return a
+
+    def pow_int(self, a: int, e: int) -> int:
+        result = 1
+        base = a
+        while e:
+            if e & 1:
+                result = self.mul_ints(result, base)
+            base = self.mul_ints(base, base)
+            e >>= 1
+        return result
+
+    def sample_int(self, x: int) -> int:
+        return x & ((1 << self.k) - 1)
+
     def mul_ints(self, a: int, b: int) -> int:
         res = 0
         while b:

@@ -84,8 +84,10 @@ class PrimeField:
     # ------------------------------------------------------------------
     # host-side conversions
     # ------------------------------------------------------------------
-    def from_ints(self, xs, shape=None) -> jax.Array:
-        """Canonical ints -> Montgomery limb array (L, *shape)."""
+    def from_ints_np(self, xs, shape=None) -> np.ndarray:
+        """Canonical ints -> Montgomery limb array (L, *shape) as NUMPY.
+        Safe to cache on long-lived objects (a jnp array created inside a jit
+        trace is a tracer and must never be cached)."""
         arr = np.asarray(xs, dtype=object)
         if shape is None:
             shape = arr.shape
@@ -96,8 +98,11 @@ class PrimeField:
         for k, v in enumerate(flat):
             buf[k * eb:(k + 1) * eb] = (int(v) * R % p).to_bytes(eb, "little")
         out = np.frombuffer(bytes(buf), dtype="<u2").reshape(flat.size, self.L)
-        return jnp.asarray(out.T.astype(np.uint32).reshape(
-            (self.L,) + tuple(shape)))
+        return out.T.astype(np.uint32).reshape((self.L,) + tuple(shape))
+
+    def from_ints(self, xs, shape=None) -> jax.Array:
+        """Canonical ints -> Montgomery limb array (L, *shape)."""
+        return jnp.asarray(self.from_ints_np(xs, shape))
 
     def to_ints(self, limbs) -> np.ndarray:
         """Montgomery limb array -> canonical ints (object ndarray).
@@ -116,6 +121,34 @@ class PrimeField:
 
     def to_int(self, limbs) -> int:
         return int(self.to_ints(limbs).reshape(-1)[0])
+
+    # -- host-int arithmetic (field-generic interface shared with
+    # BinaryField, for pointwise verifier math) ---------------------------
+    @property
+    def field_size(self) -> int:
+        return self.p
+
+    def add_ints(self, a: int, b: int) -> int:
+        return (a + b) % self.p
+
+    def sub_ints(self, a: int, b: int) -> int:
+        return (a - b) % self.p
+
+    def neg_int(self, a: int) -> int:
+        return (-a) % self.p
+
+    def mul_ints(self, a: int, b: int) -> int:
+        return a * b % self.p
+
+    def pow_int(self, a: int, e: int) -> int:
+        return pow(a, e, self.p)
+
+    def inv_int(self, a: int) -> int:
+        return pow(a, self.p - 2, self.p)
+
+    def sample_int(self, x: int) -> int:
+        """Map a uniform integer (with slack bits) into the field."""
+        return x % self.p
 
     def zeros(self, shape=()) -> jax.Array:
         return jnp.zeros((self.L,) + tuple(shape), dtype=jnp.uint32)

@@ -64,8 +64,8 @@ class ShardedNTT:
         W = domain.generator_powers()  # (L, N) powers of g
         idx = (np.arange(self.R, dtype=np.int64)[:, None]
                * np.arange(self.C, dtype=np.int64)[None, :]) % N
-        self.twiddle_grid = jnp.take(W, jnp.asarray(idx.reshape(-1)), axis=1
-                                     ).reshape(F.L, self.R, self.C)
+        self.twiddle_grid = np.take(np.asarray(W), idx.reshape(-1), axis=1
+                                    ).reshape(F.L, self.R, self.C)
         self.shift_powers = domain.shift_powers() if domain.shift != 1 else None
         self._jitted = None
 
