@@ -265,7 +265,8 @@ class IOPProtocol:
         reg = self.prover_msg_regs[handle.id]
         assert len(values) == reg.size
         assert reg.round == self._rounds_done
-        self.prover_messages[handle.id] = [int(v) % self.F.p for v in values]
+        self.prover_messages[handle.id] = [self.F.sample_int(int(v))
+                                           for v in values]
 
     def signal_prover_round_done(self):
         """Validate completeness of the round; subclasses add MT+hashchain."""
@@ -281,8 +282,9 @@ class IOPProtocol:
 
     # -- verifier randomness ----------------------------------------------
     def _fresh_verifier_randomness(self, size: int, index: int) -> List[int]:
-        return [int(self._rng.integers(0, 1 << 63)) * int(self._rng.integers(0, 1 << 63))
-                % self.F.p for _ in range(size)]
+        return [self.F.sample_int(
+            int(self._rng.integers(0, 1 << 63)) << 63
+            | int(self._rng.integers(0, 1 << 63))) for _ in range(size)]
 
     def obtain_verifier_random_message(self, handle: VerifierMessageHandle) -> List[int]:
         if handle.id in self.verifier_messages:
@@ -339,7 +341,8 @@ class IOPProtocol:
             cvals = [self.get_oracle_evaluation_at_position(c, position)
                      for c in reg.constituents]
             val = reg.oracle.evaluation_at_point(
-                position, dom.element_by_index_int(position), cvals) % self.F.p
+                position, dom.element_by_index_int(position), cvals)
+            val = self.F.sample_int(val)
         self._pointwise_cache[key] = val
         return val
 

@@ -15,8 +15,10 @@ from ..fields.prime import PrimeField
 from ..iop.runtime import VirtualOracle
 
 
-def lazy_linear_combination(F: PrimeField, coeff_ints: List[int], evals_list):
-    """sum_i c_i * f_i over device eval arrays, c_i canonical host ints."""
+def lazy_linear_combination(F, coeff_ints: List[int], evals_list):
+    """sum_i c_i * f_i over device eval arrays, c_i canonical host ints.
+    Field-generic: XOR accumulation for additive fields, lazy limb sums with
+    one wide reduction would be the prime-field optimization (adds here)."""
     assert len(coeff_ints) == len(evals_list)
     acc = None
     for c, ev in zip(coeff_ints, evals_list):
@@ -163,7 +165,7 @@ class RandomLinearCombinationOracle(VirtualOracle):
 
     def set_coefficients(self, coeffs: List[int]):
         assert len(coeffs) == self.num_oracles
-        self.coefficients = [int(c) % self.F.p for c in coeffs]
+        self.coefficients = [self.F.sample_int(int(c)) for c in coeffs]
 
     def evaluated_contents(self, evals):
         assert self.coefficients is not None, "challenge not yet set"
@@ -171,4 +173,8 @@ class RandomLinearCombinationOracle(VirtualOracle):
 
     def evaluation_at_point(self, position, point_int, vals):
         assert self.coefficients is not None, "challenge not yet set"
-        return sum(c * v for c, v in zip(self.coefficients, vals)) % self.F.p
+        F = self.F
+        acc = 0
+        for c, v in zip(self.coefficients, vals):
+            acc = F.add_ints(acc, F.mul_ints(c, v))
+        return acc

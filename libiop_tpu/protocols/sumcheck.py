@@ -33,41 +33,83 @@ from .common import RandomLinearCombinationOracle
 
 
 class SumcheckGOracle(VirtualOracle):
-    """g(x) = (f(x) - mu/|H| - Z_H(x) h(x)) * x^{-1}  (multiplicative case)."""
+    """The reconstructed-g virtual oracle (sumcheck.tcc:15-56):
+    multiplicative H: g(x) = (f(x) - mu/|H| - Z_H(x) h(x)) * x^{-1};
+    additive H:       g(x) = f(x) - eps^{-1} mu x^{|H|-1} - Z_H(x) h(x),
+    eps the linear coefficient of the linearized Z_H."""
 
-    def __init__(self, F: PrimeField, summation_domain: MultiplicativeCoset,
-                 codeword_domain: MultiplicativeCoset):
+    def __init__(self, F, summation_domain, codeword_domain):
         self.F = F
         self.H = summation_domain
         self.L = codeword_domain
+        self.additive = summation_domain.kind == "affine_subspace"
+        if self.additive:
+            from ..algebra.linearized import LinearizedVanishing
+            self.Z = LinearizedVanishing(summation_domain)
         self.claimed_sum: Optional[int] = None
 
     def set_claimed_sum(self, mu: int):
-        h_inv = pow(self.H.order, self.F.p - 2, self.F.p)
-        self.mu_over_H = (mu * h_inv) % self.F.p
-        self.claimed_sum = mu % self.F.p
+        F = self.F
+        self.claimed_sum = F.sample_int(mu)
+        if self.additive:
+            self.mu_scaled = F.mul_ints(self.claimed_sum,
+                                        F.inv_int(self.Z.epsilon))
+        else:
+            self.mu_scaled = F.mul_ints(self.claimed_sum,
+                                        F.inv_int(self.H.order % F.p))
 
     def evaluated_contents(self, evals):
         assert self.claimed_sum is not None, "claimed sum not set"
         F = self.F
         f_evals, h_evals = evals
+        if self.additive:
+            z_evals = jnp.asarray(self.Z.evals_over(self.L))
+            x_pow = F.pow_static(jnp.asarray(self.L.elements()),
+                                 self.H.order - 1)
+            mu_l = F.from_ints([self.mu_scaled]).reshape(F.L, 1)
+            return F.sub(F.sub(f_evals, F.mul(x_pow, mu_l)),
+                         F.mul(z_evals, h_evals))
         z_evals = vanishing_evals_over(self.H, self.L)
-        mu_l = F.from_ints([self.mu_over_H]).reshape(F.L, 1)
+        mu_l = F.from_ints([self.mu_scaled]).reshape(F.L, 1)
         num = F.sub(F.sub(f_evals, jnp.broadcast_to(
             mu_l, f_evals.shape).astype(jnp.uint32)), F.mul(z_evals, h_evals))
-        return F.mul(num, self.L.inverse_elements())
+        return F.mul(num, jnp.asarray(self.L.inverse_elements()))
 
     def evaluation_at_point(self, position, x, vals):
         assert self.claimed_sum is not None, "claimed sum not set"
-        p = self.F.p
+        F = self.F
         f_x, h_x = vals
+        if self.additive:
+            z_x = self.Z.eval_at_point_int(x)
+            t = F.mul_ints(self.mu_scaled, F.pow_int(x, self.H.order - 1))
+            return F.sub_ints(F.sub_ints(f_x, t), F.mul_ints(z_x, h_x))
+        p = self.F.p
         z_x = (pow(x, self.H.order, p) - pow(self.H.shift, self.H.order, p)) % p
-        return (f_x - self.mu_over_H - z_x * h_x) * pow(x, p - 2, p) % p
+        return (f_x - self.mu_scaled - z_x * h_x) * pow(x, p - 2, p) % p
+
+
+def _fft_any(coeffs, domain):
+    if domain.kind == "affine_subspace":
+        from ..algebra.subspace import additive_fft
+        return additive_fft(coeffs, domain)
+    return fft(coeffs, domain)
+
+
+def _ifft_known_any(evals, domain, degree_bound: int):
+    if domain.kind == "affine_subspace":
+        from ..algebra.subspace import additive_ifft
+        d = 1 << (max(1, degree_bound) - 1).bit_length()
+        if d >= domain.order:
+            return additive_ifft(evals, domain)
+        # the prefix-basis subdomain occupies the CONTIGUOUS first d slots
+        return additive_ifft(evals[..., :d], domain.get_subset_of_order(d))
+    return ifft_of_known_degree(evals, domain, degree_bound)
 
 
 class BatchSumcheck:
     """Drives registration and proving of one batch-sumcheck instance
-    (libiop batch_sumcheck_protocol role)."""
+    (libiop batch_sumcheck_protocol role); multiplicative and additive
+    summation domains."""
 
     def __init__(self, iop: IOPProtocol, summation_handle, codeword_handle,
                  degree_bound: int, make_zk: bool,
@@ -78,6 +120,7 @@ class BatchSumcheck:
         self.codeword_handle = codeword_handle
         self.H = iop.get_domain(summation_handle)
         self.L = iop.get_domain(codeword_handle)
+        self.additive = self.H.kind == "affine_subspace"
         self.degree_bound = degree_bound
         self.make_zk = make_zk
         self.rng = rng or np.random.default_rng()
@@ -94,11 +137,11 @@ class BatchSumcheck:
 
     def attach_oracle_for_summing(self, handle: OracleHandle, claimed_sum: int = 0):
         self.attached_handles.append(handle)
-        self.claimed_sums.append(claimed_sum % self.F.p)
+        self.claimed_sums.append(self.F.sample_int(claimed_sum))
 
     def set_oracle_claimed_sum(self, handle: OracleHandle, claimed_sum: int):
         idx = self.attached_handles.index(handle)
-        self.claimed_sums[idx] = claimed_sum % self.F.p
+        self.claimed_sums[idx] = self.F.sample_int(claimed_sum)
 
     def register_challenge(self):
         n = len(self.attached_handles) + (1 if self.make_zk else 0)
@@ -121,32 +164,53 @@ class BatchSumcheck:
     # -- proving -----------------------------------------------------------
     def submit_masking_polynomial(self):
         """Random poly of degree < degree_bound summing to 0 over H:
-        m = Z_H * h' + g' with g'(0) = 0 (multiplicative case)."""
+        m = Z_H * h' + g' with g'(0) = 0 (multiplicative) or with the
+        x^{|H|-1} coefficient zeroed (additive — sumcheck.tcc:290-343)."""
         assert self.make_zk
         F = self.F
         g_coeffs = F.random((self.H.order,), self.rng)
-        g_coeffs = g_coeffs.at[:, 0].set(0)  # g'(0) = 0 => sum over H is 0
         h_coeffs = F.random((max(self.h_degree, 1),), self.rng)
-        m = mul_by_vanishing(h_coeffs, self.H)  # Z_H * h'
+        if self.additive:
+            g_coeffs = g_coeffs.at[:, self.H.order - 1].set(0)
+            from ..algebra.linearized import LinearizedVanishing
+            Z = LinearizedVanishing(self.H)
+            m = jnp.zeros((F.L, self.degree_bound), dtype=jnp.uint32)
+            hl = h_coeffs.shape[1]
+            for deg, c in Z.coeffs_dense_positions():
+                c_l = F.from_ints([c]).reshape(F.L, 1)
+                seg = F.add(m[:, deg:deg + hl], F.mul(h_coeffs, c_l))
+                m = m.at[:, deg:deg + hl].set(seg)
+        else:
+            g_coeffs = g_coeffs.at[:, 0].set(0)  # g'(0)=0 => sum over H is 0
+            m = mul_by_vanishing(h_coeffs, self.H)  # Z_H * h'
         m = m.at[:, :self.H.order].set(F.add(m[:, :self.H.order], g_coeffs))
-        evals = fft(m, self.L)
+        evals = _fft_any(m, self.L)
         self.iop.submit_oracle(self.masking_handle, evals)
 
     def _combined_claimed_sum(self, challenge: List[int]) -> int:
+        F = self.F
         start = 1 if self.make_zk else 0
-        return sum(challenge[i + start] * s
-                   for i, s in enumerate(self.claimed_sums)) % self.F.p
+        acc = 0
+        for i, s in enumerate(self.claimed_sums):
+            acc = F.add_ints(acc, F.mul_ints(challenge[i + start], s))
+        return acc
 
     def calculate_and_submit_proof(self):
         F = self.F
         challenge = self.iop.obtain_verifier_random_message(self.challenge_handle)
         self.combined_f_oracle.set_coefficients(challenge)
         combined_evals = self.iop.get_oracle_evaluations(self.combined_f_handle)
-        coeffs = ifft_of_known_degree(combined_evals, self.L, self.degree_bound)
+        coeffs = _ifft_known_any(combined_evals, self.L, self.degree_bound)
         coeffs = coeffs[:, :max(self.degree_bound, 1)]
         mu = self._combined_claimed_sum(challenge)
         self.g_oracle.set_claimed_sum(mu)
-        quotient, _rem = divide_by_vanishing(coeffs, self.H)
+        if self.additive:
+            from ..algebra.linearized import (LinearizedVanishing,
+                                              divide_by_linearized)
+            quotient, _rem = divide_by_linearized(
+                F, coeffs, LinearizedVanishing(self.H))
+        else:
+            quotient, _rem = divide_by_vanishing(coeffs, self.H)
         if quotient.shape[1] == 0:
             quotient = jnp.zeros((F.L, 1), dtype=jnp.uint32)
         d = 1 << (max(quotient.shape[1], 1) - 1).bit_length()
@@ -154,7 +218,7 @@ class BatchSumcheck:
             quotient = jnp.concatenate(
                 [quotient, jnp.zeros((F.L, d - quotient.shape[1]), dtype=jnp.uint32)],
                 axis=1)
-        h_evals = fft(quotient, self.L)
+        h_evals = _fft_any(quotient, self.L)
         self.iop.submit_oracle(self.h_handle, h_evals)
 
     # -- verification ------------------------------------------------------
