@@ -1,0 +1,280 @@
+"""Field/domain-generic algebra dispatch: one call surface over both domain
+families (multiplicative cosets of prime fields, affine subspaces of binary
+fields).
+
+Counterpart of the reference's FieldT-templated free functions — the places
+where libiop branches on ``field_subset::type()`` (e.g. FFT_over_field_subset
+fft.tcc:408-419, vanishing_polynomial.tcc's subspace/coset split, the
+lagrange coefficient duality lagrange.tcc) become explicit dispatch here.
+Protocol code (sumcheck, lincheck, FRI, r1cs_rs_iop, LDT reducer, BCS) calls
+these instead of the family-specific modules, which is what makes the whole
+SNARK stack domain-generic.
+
+Host-int math uses the shared field interface (add_ints/mul_ints/inv_int/
+pow_int) implemented by both PrimeField and BinaryField.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+
+from .domains import MultiplicativeCoset, host_powers
+from .subspace import AffineSubspace, additive_fft, additive_ifft
+from .fft import fft, ifft, ifft_of_known_degree
+from . import poly as mpoly
+from .linearized import LinearizedVanishing, divide_by_linearized
+
+
+def is_additive(domain) -> bool:
+    return domain.kind == "affine_subspace"
+
+
+def make_domain(F, dim: int, shift=None):
+    """Canonical evaluation domain of dimension ``dim`` over F: an unshifted
+    subgroup / standard-basis subspace, optionally shifted."""
+    if F.kind == "additive":
+        return AffineSubspace(F, dim, shift=shift or 0)
+    return MultiplicativeCoset(F, dim, shift=1 if shift is None else shift)
+
+
+def element_outside_of_subset(F, dim: int) -> int:
+    """An element outside the canonical unshifted domain of dimension dim
+    (subspace.tcc:220-227 / subgroup.tcc:312 semantics): used as the codeword
+    domain's affine shift so it is disjoint from the systematic domains."""
+    if F.kind == "additive":
+        return 1 << dim  # x^dim, outside span(x^0..x^{dim-1})
+    return F.multiplicative_generator
+
+
+def linearized_vanishing(H: AffineSubspace) -> LinearizedVanishing:
+    """Cached LinearizedVanishing of an affine subspace."""
+    z = getattr(H, "_linearized_vanishing", None)
+    if z is None:
+        z = LinearizedVanishing(H)
+        H._linearized_vanishing = z
+    return z
+
+
+# ---------------------------------------------------------------------------
+# FFTs
+# ---------------------------------------------------------------------------
+def fft_any(coeffs, domain):
+    if is_additive(domain):
+        return additive_fft(coeffs, domain)
+    return fft(coeffs, domain)
+
+
+def ifft_any(evals, domain):
+    if is_additive(domain):
+        return additive_ifft(evals, domain)
+    return ifft(evals, domain)
+
+
+def ifft_known_any(evals, domain, degree_bound: int):
+    """IFFT exploiting a known degree bound: interpolate over the minimal
+    subdomain (fft.tcc:435-475 role).  The additive prefix-basis subdomain
+    occupies the CONTIGUOUS first d slots; the multiplicative subgroup's
+    slots are strided (handled inside ifft_of_known_degree)."""
+    if is_additive(domain):
+        d = 1 << (max(1, degree_bound) - 1).bit_length()
+        if d >= domain.order:
+            return additive_ifft(evals, domain)
+        return additive_ifft(evals[..., :d], domain.get_subset_of_order(d))
+    return ifft_of_known_degree(evals, domain, degree_bound)
+
+
+# ---------------------------------------------------------------------------
+# vanishing polynomials: host-int and device evaluation
+# ---------------------------------------------------------------------------
+def vanishing_eval_int(H, x: int) -> int:
+    """Z_H(x) as a host int."""
+    if is_additive(H):
+        return linearized_vanishing(H).eval_at_point_int(x)
+    F = H.field
+    return F.sub_ints(F.pow_int(x, H.order), F.pow_int(H.shift, H.order))
+
+
+def vanishing_derivative_int(H, x: int) -> int:
+    """Z_H'(x): h*x^{h-1} for cosets; the constant eps for subspaces."""
+    F = H.field
+    if is_additive(H):
+        return linearized_vanishing(H).epsilon
+    return F.mul_ints(H.order % F.p, F.pow_int(x, H.order - 1))
+
+
+def _vanishing_ints_over(H, L) -> List[int]:
+    """Host ints of Z_H over L in natural order, computed via structure:
+    additive — F2-linearity subset sums; multiplicative — short cycle."""
+    F = H.field
+    if is_additive(H):
+        Z = linearized_vanishing(H)
+        z_basis = [Z._eval_linear(Z.linear_coeffs, b) for b in L.basis]
+        z_shift = Z.eval_at_point_int(L.shift)
+        from .subspace import subset_sums_ints
+        return subset_sums_ints(F, z_basis, z_shift)
+    from math import gcd
+    h = H.order
+    N = L.order
+    distinct = N // gcd(N, h)
+    w = F.pow_int(L.g, h)
+    sh = F.pow_int(H.shift, h)
+    acc = F.pow_int(L.shift, h)
+    out = []
+    for _ in range(distinct):
+        out.append(F.sub_ints(acc, sh))
+        acc = F.mul_ints(acc, w)
+    return out * (N // distinct)
+
+
+def vanishing_evals_over_any(H, L):
+    """(limbs, |L|) device evaluations of Z_H over L."""
+    if is_additive(H):
+        return jnp.asarray(H.field.from_ints_np(_vanishing_ints_over(H, L)))
+    return mpoly.vanishing_evals_over(H, L)
+
+
+def vanishing_inverse_evals_over_any(H, L):
+    """1/Z_H over L (L disjoint from H).  Exploits the k-to-1 structure:
+    only the distinct values are inverted (host ints), then tiled."""
+    F = H.field
+    if is_additive(H):
+        vals = _vanishing_ints_over(H, L)
+        uniq = {}
+        for v in vals:
+            if v not in uniq:
+                uniq[v] = F.inv_int(v)
+        return jnp.asarray(F.from_ints_np([uniq[v] for v in vals]))
+    return mpoly.vanishing_inverse_evals_over(H, L)
+
+
+def mul_by_vanishing_any(coeffs, H):
+    """Coefficient array of Z_H * f."""
+    F = H.field
+    if is_additive(H):
+        Z = linearized_vanishing(H)
+        d = coeffs.shape[-1]
+        out = jnp.zeros(coeffs.shape[:-1] + (d + H.order,), jnp.uint32)
+        for deg, c in Z.coeffs_dense_positions():
+            c_dev = F.from_ints([c]).reshape((F.L,) + (1,) * (coeffs.ndim - 1))
+            seg = out[..., deg:deg + d] ^ F.mul(coeffs, c_dev)
+            out = out.at[..., deg:deg + d].set(seg)
+        return out
+    return mpoly.mul_by_vanishing(coeffs, H)
+
+
+def divide_by_vanishing_any(coeffs, H):
+    """(quotient, remainder) of a dense coefficient array by Z_H."""
+    if is_additive(H):
+        return divide_by_linearized(H.field, coeffs, linearized_vanishing(H))
+    return mpoly.divide_by_vanishing(coeffs, H)
+
+
+# ---------------------------------------------------------------------------
+# powers / Lagrange (host-int, verifier side)
+# ---------------------------------------------------------------------------
+def host_powers_any(F, x_int: int, n: int, start: int = 1):
+    """[start * x^k, k < n] as a (limbs, n) NUMPY array for either field."""
+    if F.kind == "additive":
+        acc = start
+        out = []
+        for _ in range(n):
+            out.append(acc)
+            acc = F.mul_ints(acc, x_int)
+        return F.from_ints_np(out)
+    return host_powers(F, x_int, n, start=start)
+
+
+def lagrange_coeffs_ints_any(domain, x: int) -> List[int]:
+    """Host-int Lagrange coefficients of a (small) domain at x:
+    L_k(x) = Z(x) / (Z'(e_k) * (x - e_k)); Z' is constant (eps) for
+    subspaces and h*s^{h-1}*g^{-k} for cosets (lagrange.tcc duality)."""
+    F = domain.field
+    h = domain.order
+    elems = [domain.element_by_index_int(i) for i in range(h)]
+    for i, e in enumerate(elems):
+        if e == x:
+            return [1 if j == i else 0 for j in range(h)]
+    z_x = vanishing_eval_int(domain, x)
+    out = []
+    for i, e in enumerate(elems):
+        zp = vanishing_derivative_int_at_element(domain, i)
+        denom = F.mul_ints(zp, F.sub_ints(x, e))
+        out.append(F.mul_ints(z_x, F.inv_int(denom)))
+    return out
+
+
+def vanishing_derivative_int_at_element(domain, index: int) -> int:
+    """Z'(e_index) for e_index the index-th domain element."""
+    F = domain.field
+    if is_additive(domain):
+        return linearized_vanishing(domain).epsilon
+    # Z'(e_i) = h * s^{h-1} * g^{-i}  (coset derivative closed form)
+    h = domain.order
+    c = F.mul_ints(h % F.p, F.pow_int(domain.shift, h - 1))
+    return F.mul_ints(c, F.inv_int(F.pow_int(domain.g, index)))
+
+
+def lagrange_coefficients_any(domain, alpha_int: int):
+    """(limbs, h) device Lagrange basis of ``domain`` at a host-int point.
+    Batched: one device inversion over the domain."""
+    F = domain.field
+    h = domain.order
+    elems = domain.elements()
+    alpha = F.from_ints([alpha_int]).reshape(F.L, 1)
+    diff = F.sub(jnp.broadcast_to(alpha, (F.L, h)).astype(jnp.uint32),
+                 jnp.asarray(elems))
+    if is_additive(domain):
+        eps = linearized_vanishing(domain).epsilon
+        zprime = F.from_ints([eps] * h)
+    else:
+        c = F.mul_ints(h % F.p, F.pow_int(domain.shift, h - 1))
+        zprime = F.mul(jnp.asarray(domain.inverse_generator_powers()),
+                       F.from_ints([c]).reshape(F.L, 1))
+    z_alpha = F.from_ints([vanishing_eval_int(domain, alpha_int)]).reshape(F.L, 1)
+    coeffs = F.mul(F.inv(F.mul(zprime, diff)),
+                   jnp.broadcast_to(z_alpha, (F.L, h)).astype(jnp.uint32))
+    member = F.eq(jnp.broadcast_to(alpha, (F.L, h)).astype(jnp.uint32),
+                  jnp.asarray(elems))
+    onehot = F.select(member, F.ones((h,)), F.zeros((h,)))
+    return jnp.where(jnp.any(member), onehot, coeffs)
+
+
+# ---------------------------------------------------------------------------
+# succinct (unnormalized) Lagrange polynomial p_alpha — both families
+# (lagrange_polynomial.{hpp,tcc}): p_alpha(Y) = (Z_H(alpha)-Z_H(Y))/(alpha-Y)
+# ---------------------------------------------------------------------------
+def lagrange_poly_evals_over_any(H, alpha: int, L):
+    F = H.field
+    if not is_additive(H):
+        return mpoly.lagrange_poly_evals_over(H, alpha, L)
+    z_alpha = vanishing_eval_int(H, alpha)
+    z_alpha_l = F.from_ints([z_alpha]).reshape(F.L, 1)
+    z_over_L = vanishing_evals_over_any(H, L)
+    num = F.sub(jnp.broadcast_to(z_alpha_l, z_over_L.shape).astype(jnp.uint32),
+                z_over_L)
+    alpha_l = F.from_ints([alpha]).reshape(F.L, 1)
+    denom = F.sub(jnp.broadcast_to(alpha_l, (F.L, L.order)).astype(jnp.uint32),
+                  jnp.asarray(L.elements()))
+    return F.mul(num, F.inv(denom))
+
+
+def lagrange_poly_eval_at_point_int_any(H, alpha: int, x: int) -> int:
+    F = H.field
+    if not is_additive(H):
+        return mpoly.lagrange_poly_eval_at_point_int(H, alpha, x)
+    if x == alpha:
+        return linearized_vanishing(H).epsilon  # formal derivative at alpha
+    z_a = vanishing_eval_int(H, alpha)
+    z_x = vanishing_eval_int(H, x)
+    return F.mul_ints(F.sub_ints(z_a, z_x),
+                      F.inv_int(F.sub_ints(alpha, x)))
+
+
+def horner_eval_ints(F, coeffs: List[int], x: int) -> int:
+    """Host-int Horner evaluation with field-generic ops."""
+    acc = 0
+    for c in reversed(coeffs):
+        acc = F.add_ints(F.mul_ints(acc, x), c)
+    return acc

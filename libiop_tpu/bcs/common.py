@@ -47,12 +47,17 @@ class BCSParameters:
         return PowParameters(self.pow_bits)
 
 
-def serialize_leaf_blocks(F: PrimeField, oracle_evals_list, domain_order: int,
+def serialize_leaf_blocks(F, oracle_evals_list, domain,
                           coset_size: int) -> List[bytes]:
     """Device->host serialization of a (round, domain)'s oracles into leaf
-    byte-columns.  oracle_evals_list: list of (L, N) Montgomery device arrays
-    in ascending oracle-id order."""
-    N = domain_order
+    byte-columns (bcs_common.tcc:620-696 layouts).  oracle_evals_list: list of
+    (L, N) device arrays in ascending oracle-id order.
+
+    Leaf j holds, for each oracle, the values at positions
+    ``domain.position_by_coset_indices(j, i, c)`` for i in intra-coset order:
+    strided (j + i*num_leaves) over multiplicative cosets, contiguous
+    (j*c + i) over affine subspaces."""
+    N = domain.num_elements()
     c = coset_size
     assert N % c == 0
     num_leaves = N // c
@@ -61,8 +66,12 @@ def serialize_leaf_blocks(F: PrimeField, oracle_evals_list, domain_order: int,
         canon = F.to_canonical_limbs(ev)
         raw = np.frombuffer(F.canonical_to_bytes(canon), dtype=np.uint8
                             ).reshape(N, F.elem_bytes)
-        # leaf j <- positions j + i*num_leaves for i in 0..c-1 (intra order)
-        blocks = raw.reshape(c, num_leaves, F.elem_bytes).transpose(1, 0, 2)
+        if domain.kind == "affine_subspace":
+            # leaf j <- positions j*c + i (contiguous cosets)
+            blocks = raw.reshape(num_leaves, c, F.elem_bytes)
+        else:
+            # leaf j <- positions j + i*num_leaves (strided cosets)
+            blocks = raw.reshape(c, num_leaves, F.elem_bytes).transpose(1, 0, 2)
         per_oracle.append(blocks.reshape(num_leaves, c * F.elem_bytes))
     cat = np.concatenate(per_oracle, axis=1) if per_oracle else np.zeros(
         (num_leaves, 0), np.uint8)
@@ -102,18 +111,25 @@ class BCSTranscript:
     prover_messages: Dict[int, List[int]] = dataclasses.field(default_factory=dict)
     mt_proofs: Dict[Tuple[int, int], MTProof] = dataclasses.field(default_factory=dict)
     pow_nonce: int = 0
+    #: fixed width of a serialized prover-message element (canonical format:
+    #: every field element costs exactly elem_bytes; non-canonical encodings
+    #: are rejected at deserialization)
+    elem_bytes: int = 0
     # indexer support (Fractal): roots of the round-0 index MTs, carried in
     # the verifier index instead of the transcript proper
     total_depth_without_pruning: int = 0
 
     # -- binary serialization (canonical proof format) ---------------------
     def serialize(self) -> bytes:
-        out = [b"BCS1"]
+        out = [b"BCS2"]
 
         def put_bytes(b: bytes):
             out.append(struct.pack("<I", len(b)))
             out.append(b)
 
+        eb = self.elem_bytes
+        assert eb > 0, "transcript elem_bytes must be set before serialization"
+        out.append(struct.pack("<I", eb))
         out.append(struct.pack("<Q", self.pow_nonce))
         out.append(struct.pack("<I", len(self.mt_roots)))
         for (rnd, dom), root in sorted(self.mt_roots.items()):
@@ -124,7 +140,7 @@ class BCSTranscript:
             vals = self.prover_messages[mid]
             out.append(struct.pack("<II", mid, len(vals)))
             for v in vals:
-                put_bytes(v.to_bytes((v.bit_length() + 7) // 8 or 1, "little"))
+                out.append(int(v).to_bytes(eb, "little"))
         out.append(struct.pack("<I", len(self.mt_proofs)))
         for (rnd, dom), prf in sorted(self.mt_proofs.items()):
             out.append(struct.pack("<II", rnd, dom))
@@ -147,7 +163,7 @@ class BCSTranscript:
 
     @classmethod
     def deserialize(cls, data: bytes) -> "BCSTranscript":
-        assert data[:4] == b"BCS1"
+        assert data[:4] == b"BCS2"
         off = 4
 
         def get(fmt):
@@ -165,6 +181,8 @@ class BCSTranscript:
             return b
 
         t = cls()
+        (t.elem_bytes,) = get("<I")
+        eb = t.elem_bytes
         (t.pow_nonce,) = get("<Q")
         (nroots,) = get("<I")
         for _ in range(nroots):
@@ -173,8 +191,11 @@ class BCSTranscript:
         (nmsgs,) = get("<I")
         for _ in range(nmsgs):
             mid, nvals = get("<II")
-            t.prover_messages[mid] = [
-                int.from_bytes(get_bytes(), "little") for _ in range(nvals)]
+            vals = []
+            for _ in range(nvals):
+                vals.append(int.from_bytes(data[off:off + eb], "little"))
+                off += eb
+            t.prover_messages[mid] = vals
         (nproofs,) = get("<I")
         for _ in range(nproofs):
             rnd, dom = get("<II")
@@ -216,9 +237,8 @@ class BCSTranscript:
             }
             iop_bytes += leaf_bytes
             bcs_bytes += digest_bytes + salt_bytes + root_bytes
-        msg_bytes = sum(
-            sum((v.bit_length() + 7) // 8 or 1 for v in vals)
-            for vals in self.prover_messages.values())
+        msg_bytes = sum(len(vals) * self.elem_bytes
+                        for vals in self.prover_messages.values())
         iop_bytes += msg_bytes
         bcs_bytes += 8  # pow nonce
         return {

@@ -30,6 +30,12 @@ def blake2b(data: bytes, digest_size: int) -> bytes:
     return hashlib.blake2b(data, digest_size=digest_size).digest()
 
 
+#: domain-separation tags: a leaf input can never collide with an inner-node
+#: input (2-digest concat) even when their lengths coincide
+LEAF_TAG = b"\x00"
+NODE_TAG = b"\x01"
+
+
 class Blake2bHashing:
     """Hash suite: leaf hash, 2-to-1 compression, zk salting."""
 
@@ -42,22 +48,24 @@ class Blake2bHashing:
         self.salt_bytes = 2 * (security_bits // 8)
 
     def leaf_hash(self, data: bytes) -> bytes:
-        return blake2b(data, self.digest_bytes)
+        return blake2b(LEAF_TAG + data, self.digest_bytes)
 
     def two_to_one(self, left: bytes, right: bytes) -> bytes:
-        return blake2b(left + right, self.digest_bytes)
+        return blake2b(NODE_TAG + left + right, self.digest_bytes)
 
     # batched variants (native C++ with OpenMP; hashlib fallback)
     def leaf_hash_batch(self, blocks):
         from . import native_blake2b
-        out = native_blake2b.hash_batch(list(blocks), self.digest_bytes)
+        out = native_blake2b.hash_batch(list(blocks), self.digest_bytes,
+                                        tag=LEAF_TAG)
         if out is not None:
             return out
         return [self.leaf_hash(b) for b in blocks]
 
     def tree_layer(self, digests):
         from . import native_blake2b
-        out = native_blake2b.tree_layer(list(digests), self.digest_bytes)
+        out = native_blake2b.tree_layer(list(digests), self.digest_bytes,
+                                        tag=NODE_TAG)
         if out is not None:
             return out
         return [self.two_to_one(digests[2 * i], digests[2 * i + 1])
@@ -67,13 +75,19 @@ class Blake2bHashing:
 class Blake2bHashchain:
     """Sequential Fiat–Shamir state.  absorb(x): state <- H(state || x).
     squeeze counter resets on every absorb (so squeezes are deterministic
-    functions of the absorb history)."""
+    functions of the absorb history).  Field-generic: works over prime fields
+    (uniform mod-p sampling with 128 slack bits) and binary fields (exact
+    k-bit extraction)."""
 
-    def __init__(self, field: PrimeField, security_bits: int = 128):
+    def __init__(self, field, security_bits: int = 128):
         self.F = field
         self.digest_bytes = 2 * (security_bits // 8)
         self.state = blake2b(DOMAIN_SEP + b"hashchain-init", self.digest_bytes)
         self._squeeze_ctr = 0
+        if hasattr(field, "p"):  # prime field: add modular-reduction slack
+            self._sample_bytes = min(64, field.elem_bytes + 16)
+        else:                    # binary field: exact width is uniform
+            self._sample_bytes = min(64, field.elem_bytes)
 
     def absorb_bytes(self, data: bytes):
         self.state = blake2b(self.state + data, self.digest_bytes)
@@ -86,7 +100,7 @@ class Blake2bHashchain:
         """Zero-prefixed concatenation (role of bcs_common.tcc:577-584)."""
         eb = self.F.elem_bytes
         data = b"\x00" * eb + b"".join(
-            (int(v) % self.F.p).to_bytes(eb, "little") for v in values)
+            self.F.sample_int(int(v)).to_bytes(eb, "little") for v in values)
         self.absorb_bytes(b"msgs" + data)
 
     def _squeeze_block(self, nbytes: int) -> bytes:
@@ -96,10 +110,10 @@ class Blake2bHashchain:
         return out
 
     def squeeze_field_elements(self, n: int) -> List[int]:
-        """n uniform-ish field elements (128 bits of modular-reduction slack)."""
-        eb = min(64, self.F.elem_bytes + 16)
-        return [int.from_bytes(self._squeeze_block(eb), "little") % self.F.p
-                for _ in range(n)]
+        """n uniform field elements of the chain's field."""
+        return [self.F.sample_int(
+            int.from_bytes(self._squeeze_block(self._sample_bytes), "little"))
+            for _ in range(n)]
 
     def squeeze_query_positions(self, n: int, domain_size: int) -> List[int]:
         """n positions in [0, domain_size); domain_size must be a power of two

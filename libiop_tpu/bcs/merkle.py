@@ -97,6 +97,13 @@ def validate_multi_proof(hasher: Blake2bHashing, root: bytes, num_leaves: int,
     leaf blocks (sorted-deduped position order) + pruned auxiliary digests."""
     n = num_leaves
     frontier = sorted(set(positions))
+    if not frontier:
+        return False
+    # range check (merkle_tree.tcc:265,407 semantics): an out-of-range
+    # "leaf" would enter the walk above the leaf layer and alias inner
+    # nodes, letting arbitrary unverified content through
+    if frontier[0] < 0 or frontier[-1] >= n:
+        return False
     if len(frontier) != len(leaf_blocks):
         return False
     if salts is not None:
@@ -133,7 +140,8 @@ def validate_multi_proof(hasher: Blake2bHashing, root: bytes, num_leaves: int,
         node_ids = sorted(set(parents))
     if ai != len(aux):
         return False
-    return bool(node_ids) and digests[1] == root
+    # the walk must terminate at exactly the root node
+    return node_ids == [1] and digests[1] == root
 
 
 def count_proof_hashes(num_leaves: int, positions: Sequence[int]) -> int:

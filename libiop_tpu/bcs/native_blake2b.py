@@ -35,9 +35,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
         lib.blake2b_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
-            ctypes.c_char_p, ctypes.c_size_t]
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
         lib.blake2b_tree_layer.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_char_p]
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_int]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -48,9 +49,14 @@ def available() -> bool:
     return _load() is not None
 
 
-def hash_batch(blocks: List[bytes], digest_len: int) -> Optional[List[bytes]]:
-    """Hash equal-length blocks; returns None if native lib unavailable or
-    blocks have mixed lengths."""
+def _tag_arg(tag: Optional[bytes]) -> int:
+    return -1 if tag is None else tag[0]
+
+
+def hash_batch(blocks: List[bytes], digest_len: int,
+               tag: Optional[bytes] = None) -> Optional[List[bytes]]:
+    """Hash equal-length blocks (each prefixed by the optional 1-byte tag);
+    returns None if native lib unavailable or blocks have mixed lengths."""
     lib = _load()
     if lib is None or not blocks:
         return None
@@ -59,19 +65,22 @@ def hash_batch(blocks: List[bytes], digest_len: int) -> Optional[List[bytes]]:
         return None
     joined = b"".join(blocks)
     out = ctypes.create_string_buffer(len(blocks) * digest_len)
-    lib.blake2b_batch(joined, len(blocks), in_len, out, digest_len)
+    lib.blake2b_batch(joined, len(blocks), in_len, out, digest_len,
+                      _tag_arg(tag))
     raw = out.raw
     return [raw[i * digest_len:(i + 1) * digest_len] for i in range(len(blocks))]
 
 
-def tree_layer(digests: List[bytes], digest_len: int) -> Optional[List[bytes]]:
-    """[d0,d1,d2,d3,...] -> [H(d0||d1), H(d2||d3), ...]; None if unavailable."""
+def tree_layer(digests: List[bytes], digest_len: int,
+               tag: Optional[bytes] = None) -> Optional[List[bytes]]:
+    """[d0,d1,d2,d3,...] -> [H(tag||d0||d1), H(tag||d2||d3), ...];
+    None if unavailable."""
     lib = _load()
     if lib is None or not digests:
         return None
     n_out = len(digests) // 2
     joined = b"".join(digests)
     out = ctypes.create_string_buffer(n_out * digest_len)
-    lib.blake2b_tree_layer(joined, n_out, digest_len, out)
+    lib.blake2b_tree_layer(joined, n_out, digest_len, out, _tag_arg(tag))
     raw = out.raw
     return [raw[i * digest_len:(i + 1) * digest_len] for i in range(n_out)]

@@ -51,7 +51,7 @@ class BCSProver(IOPProtocol):
             evals = [self.oracle_evals[i] for i in oracle_ids]
             make_zk = any(self.oracle_regs[i].make_zk for i in oracle_ids)
             blocks = serialize_leaf_blocks(
-                self.F, evals, dom.num_elements(), rp.quotient_map_size)
+                self.F, evals, dom, rp.quotient_map_size)
             mt = MerkleTree(self.hasher, blocks, make_zk=make_zk)
             self.merkle_trees[(rnd, dom_id)] = mt
             self.mt_oracle_ids[(rnd, dom_id)] = oracle_ids
@@ -111,6 +111,7 @@ class BCSProver(IOPProtocol):
     def get_transcript(self) -> BCSTranscript:
         self.finalize_query_positions()
         t = BCSTranscript()
+        t.elem_bytes = self.F.elem_bytes
         t.mt_roots = dict(self.mt_roots)
         t.prover_messages = {i: list(v) for i, v in self.prover_messages.items()}
         t.pow_nonce = self.pow_nonce
@@ -125,8 +126,12 @@ class BCSProver(IOPProtocol):
                 rnd = reg.round
             key = (rnd, reg.domain.id)
             rp = self.get_round_parameters(rnd)
-            num_leaves = self.domains[reg.domain.id].num_elements() // rp.quotient_map_size
-            per_tree.setdefault(key, set()).add(pos % num_leaves)
+            dom = self.domains[reg.domain.id]
+            # query position -> Merkle leaf index via the domain's coset
+            # layout (query_position_to_merkle_tree_position role,
+            # bcs_common.tcc:700-716)
+            per_tree.setdefault(key, set()).add(
+                dom.coset_index(pos, rp.quotient_map_size))
         for key, leaf_positions in sorted(per_tree.items()):
             mt = self.merkle_trees[key]
             positions = sorted(leaf_positions)

@@ -71,6 +71,11 @@ class BCSVerifier(IOPProtocol):
                     vals = t.prover_messages.get(i)
                     if vals is None or len(vals) != reg.size:
                         raise BCSVerificationError(f"bad prover message {i}")
+                    if any(v < 0 or v >= self.F.field_size for v in vals):
+                        # canonical transcripts only: v and v + p must not
+                        # both verify
+                        raise BCSVerificationError(
+                            f"non-canonical prover message {i}")
                     msg_vals.extend(vals)
             self.hashchain.absorb_field_elements(msg_vals)
             for i, reg in enumerate(self.verifier_msg_regs):
@@ -104,6 +109,8 @@ class BCSVerifier(IOPProtocol):
             expected_len = len(oracle_ids) * c * self.F.elem_bytes
             if any(len(b) != expected_len for b in prf.leaf_blocks):
                 raise BCSVerificationError("bad leaf block size")
+            if any(p < 0 or p >= num_leaves for p in prf.positions):
+                raise BCSVerificationError("leaf position out of range")
             if make_zk and prf.salts is None:
                 raise BCSVerificationError("missing zk salts")
             ok = validate_multi_proof(
@@ -111,14 +118,15 @@ class BCSVerifier(IOPProtocol):
                 prf.aux_digests, prf.salts if make_zk else None)
             if not ok:
                 raise BCSVerificationError(f"multiproof invalid for tree {key}")
-            # install values: leaf j covers positions j + i*num_leaves
+            # install values: leaf j covers the coset positions given by the
+            # domain's layout (strided for cosets, contiguous for subspaces)
             for leaf_pos, block in zip(prf.positions, prf.leaf_blocks):
                 vals = parse_leaf_block(self.F, block, len(oracle_ids), c)
                 for oi, oid in enumerate(oracle_ids):
                     for intra in range(c):
-                        pos = leaf_pos + intra * num_leaves
+                        pos = dom.position_by_coset_indices(leaf_pos, intra, c)
                         v = vals[oi][intra]
-                        if v >= self.F.p:
+                        if v >= self.F.field_size:
                             raise BCSVerificationError("field element out of range")
                         self._value_map[(oid, pos)] = v
 

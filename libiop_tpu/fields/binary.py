@@ -99,10 +99,17 @@ class BinaryField:
         return jnp.broadcast_to(jnp.asarray(z), (self.W,) + tuple(shape)
                                 ).astype(jnp.uint32)
 
-    def random(self, shape=(), rng: np.random.Generator | None = None) -> jax.Array:
+    def random_ints(self, n: int, rng: np.random.Generator | None = None):
+        """n uniform field elements as Python ints (exact k-bit draws)."""
         rng = rng or np.random.default_rng()
+        raw = rng.bytes(n * self.elem_bytes)
+        eb = self.elem_bytes
+        return [int.from_bytes(raw[k * eb:(k + 1) * eb], "little")
+                for k in range(n)]
+
+    def random(self, shape=(), rng: np.random.Generator | None = None) -> jax.Array:
         n = int(np.prod(shape)) if shape else 1
-        vals = [int.from_bytes(rng.bytes(self.elem_bytes), "little") for _ in range(n)]
+        vals = self.random_ints(n, rng)
         return self.from_ints(np.array(vals, dtype=object).reshape(shape or ()))
 
     # -- host int arithmetic (field-generic interface shared with
@@ -265,9 +272,34 @@ class BinaryField:
         out, _ = jax.lax.scan(body, self.ones(a.shape[1:]), bits_arr)
         return out
 
+    def _pow_2exp(self, a, m: int):
+        """a^(2^m): m squarings via scan (O(1) graph)."""
+        if m == 0:
+            return a
+
+        def body(x, _):
+            return self.square(x), None
+
+        out, _ = jax.lax.scan(body, a, None, length=m)
+        return out
+
     def inv(self, a):
-        """Fermat a^(2^k - 2); inv(0) = 0."""
-        return self.pow_static(a, (1 << self.k) - 2)
+        """Itoh–Tsujii inversion: a^(2^k-2) = (a^(2^(k-1)-1))^2 computed with
+        ~log2(k)+popcount(k-1) multiplications (each mul is the expensive
+        bit-serial scan) and k-1 cheap squarings — ~6x fewer muls than the
+        naive Fermat square-and-multiply chain.  inv(0) = 0."""
+        m = self.k - 1
+        bits = bin(m)[2:]
+        result = a          # a^(2^e - 1) with e = 1
+        e = 1
+        for bit in bits[1:]:
+            result = self.mul(self._pow_2exp(result, e), result)  # e -> 2e
+            e *= 2
+            if bit == "1":
+                result = self.mul(self.square(result), a)          # e -> e+1
+                e += 1
+        assert e == m
+        return self.square(result)
 
     # -- predicates / misc -------------------------------------------------
     def is_zero(self, a):

@@ -159,14 +159,21 @@ class PrimeField:
             jnp.asarray(one).reshape((self.L,) + (1,) * len(tuple(shape))),
             (self.L,) + tuple(shape)).astype(jnp.uint32)
 
-    def random(self, shape=(), rng: np.random.Generator | None = None) -> jax.Array:
+    def random_ints(self, n: int, rng: np.random.Generator | None = None):
+        """n statistically-uniform field elements as Python ints: each draw
+        has >= 128 bits of modular-reduction slack (bias < 2^-128), matching
+        the reference's full-width randombytes sampling (merkle_tree.tcc:37-67
+        role)."""
         rng = rng or np.random.default_rng()
+        nbytes = self.elem_bytes + 16
+        raw = rng.bytes(n * nbytes)
+        return [int.from_bytes(raw[k * nbytes:(k + 1) * nbytes], "little") % self.p
+                for k in range(n)]
+
+    def random(self, shape=(), rng: np.random.Generator | None = None) -> jax.Array:
         n = int(np.prod(shape)) if shape else 1
-        vals = [int(rng.integers(0, 1 << 63)) for _ in range(2 * n)]
-        ints = [(vals[2 * i] << 63 | vals[2 * i + 1]) % self.p for i in range(n)]
-        ints = [(x * x * 1234567 + x) % self.p for x in ints]  # spread high bits
-        out = self.from_ints(np.array(ints, dtype=object).reshape(shape or ()))
-        return out
+        ints = self.random_ints(n, rng)
+        return self.from_ints(np.array(ints, dtype=object).reshape(shape or ()))
 
     # ------------------------------------------------------------------
     # limb helpers (trace-time, pure jnp)

@@ -282,9 +282,7 @@ class IOPProtocol:
 
     # -- verifier randomness ----------------------------------------------
     def _fresh_verifier_randomness(self, size: int, index: int) -> List[int]:
-        return [self.F.sample_int(
-            int(self._rng.integers(0, 1 << 63)) << 63
-            | int(self._rng.integers(0, 1 << 63))) for _ in range(size)]
+        return self.F.random_ints(size, self._rng)
 
     def obtain_verifier_random_message(self, handle: VerifierMessageHandle) -> List[int]:
         if handle.id in self.verifier_messages:

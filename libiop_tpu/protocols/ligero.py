@@ -428,9 +428,8 @@ class InterleavedR1CS:
         for key in ["A", "B", "C"]:
             for h in self.blinding[key]:
                 # random row summing to zero over the systematic domain
-                vals = [int(x) for x in
-                        np.random.default_rng(self.rng.integers(1 << 62)).integers(
-                            0, 1 << 62, h_ord - 1)]
+                # (uniform full-field draws — low-entropy masks would leak)
+                vals = F.random_ints(h_ord - 1, self.rng)
                 vals.append((-sum(vals)) % F.p)
                 row = F.from_ints(np.array(vals, dtype=object).reshape(1, h_ord))
                 cw = _encode_rows(F, row, self.H, self.L)
@@ -440,9 +439,11 @@ class InterleavedR1CS:
             # encoding_independence extra slots of the extended domain
             ext = self.extended
             vals = [0] * ext.order
-            for i in range(h_ord, h_ord + self.params.encoding_independence):
+            draws = F.random_ints(self.params.encoding_independence, self.rng)
+            for off, i in enumerate(
+                    range(h_ord, h_ord + self.params.encoding_independence)):
                 idx = ext.reindex_by_subgroup(self.H.dim, i)
-                vals[idx] = int(self.rng.integers(1, 1 << 62))
+                vals[idx] = draws[off]
             row = F.from_ints(np.array(vals, dtype=object).reshape(1, ext.order))
             coeffs = ifft(row, ext)
             cw = fft(coeffs, self.L)

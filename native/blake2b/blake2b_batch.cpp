@@ -87,24 +87,43 @@ static void compress(B2State &S, const uint8_t block[128], bool last) {
   for (int i = 0; i < 8; i++) S.h[i] ^= v[i] ^ v[8 + i];
 }
 
-static void blake2b_one(const uint8_t *in, size_t in_len, uint8_t *out,
-                        size_t digest_len) {
+// tag < 0: hash `in` as-is; tag >= 0: hash (tag_byte || in) — the BCS layer's
+// leaf/inner domain separation without materializing prefixed copies.
+static void blake2b_one(int tag, const uint8_t *in, size_t in_len,
+                        uint8_t *out, size_t digest_len) {
   B2State S;
   for (int i = 0; i < 8; i++) S.h[i] = IV[i];
   S.h[0] ^= 0x01010000ULL ^ (uint64_t)digest_len;  // no key
   S.t0 = 0;
 
+  const size_t pre = (tag >= 0) ? 1 : 0;
+  const size_t total = in_len + pre;   // logical message length
   uint8_t block[128];
-  size_t off = 0;
-  // process all full blocks except the last block (which may be full)
-  while (in_len - off > 128) {
+  size_t done = 0;  // logical bytes consumed so far
+  // process all blocks except the last (which may itself be full)
+  while (total - done > 128) {
+    size_t bo = 0;
+    if (done == 0 && pre) {
+      block[0] = (uint8_t)tag;
+      bo = 1;
+    }
+    const size_t in_off = done ? done - pre : 0;
+    std::memcpy(block + bo, in + in_off, 128 - bo);
+    done += 128;
     S.t0 += 128;
-    compress(S, in + off, false);
-    off += 128;
+    compress(S, block, false);
   }
-  size_t rem = in_len - off;  // 0 < rem <= 128, or in_len == 0
+  const size_t rem = total - done;  // 0 < rem <= 128, or total == 0
   std::memset(block, 0, 128);
-  if (in_len > 0) std::memcpy(block, in + off, rem);
+  size_t bo = 0;
+  if (done == 0 && pre) {
+    block[0] = (uint8_t)tag;
+    bo = 1;
+  }
+  if (rem > bo) {
+    const size_t in_off = done ? done - pre : 0;
+    std::memcpy(block + bo, in + in_off, rem - bo);
+  }
   S.t0 += rem;
   compress(S, block, true);
 
@@ -118,21 +137,22 @@ static void blake2b_one(const uint8_t *in, size_t in_len, uint8_t *out,
 extern "C" {
 
 // Hash n equal-length messages: inputs is n*in_len bytes, outputs n*digest_len.
+// tag >= 0 prefixes every message with that byte (domain separation).
 void blake2b_batch(const uint8_t *inputs, size_t n, size_t in_len,
-                   uint8_t *outputs, size_t digest_len) {
+                   uint8_t *outputs, size_t digest_len, int tag) {
 #pragma omp parallel for schedule(static)
   for (long i = 0; i < (long)n; i++) {
-    blake2b_one(inputs + (size_t)i * in_len, in_len,
+    blake2b_one(tag, inputs + (size_t)i * in_len, in_len,
                 outputs + (size_t)i * digest_len, digest_len);
   }
 }
 
 // One Merkle layer: 2n digests in, n digests out (hash of concatenated pair).
 void blake2b_tree_layer(const uint8_t *digests, size_t n_out,
-                        size_t digest_len, uint8_t *out) {
+                        size_t digest_len, uint8_t *out, int tag) {
 #pragma omp parallel for schedule(static)
   for (long i = 0; i < (long)n_out; i++) {
-    blake2b_one(digests + (size_t)i * 2 * digest_len, 2 * digest_len,
+    blake2b_one(tag, digests + (size_t)i * 2 * digest_len, 2 * digest_len,
                 out + (size_t)i * digest_len, digest_len);
   }
 }

@@ -175,3 +175,45 @@ def test_merkle_zk_salts():
                                 [leaves[p] for p in positions], aux, salts)
     assert not validate_multi_proof(hasher, mt.root, 8, positions,
                                     [leaves[p] for p in positions], aux, None)
+
+
+def test_merkle_out_of_range_position_rejected():
+    """ADVICE round-1 high-severity PoC: a fake leaf at an out-of-range
+    position (>= num_leaves) must be rejected, not walked above the leaf
+    layer (merkle_tree.tcc:265,407 range-check semantics)."""
+    hasher = Blake2bHashing(128)
+    leaves = [bytes([i] * 10) for i in range(4)]
+    mt = MerkleTree(hasher, leaves)
+    # honest proof for position 1
+    aux = mt.multi_proof([1])
+    assert validate_multi_proof(hasher, mt.root, 4, [1], [leaves[1]], aux)
+    # fake leaf at position 5 of the 4-leaf tree, arbitrary content + junk aux
+    for positions, blocks, aux2 in [
+            ([5], [b"evil" * 3], [b"\x00" * 32]),
+            ([1, 5], [leaves[1], b"evil" * 3], aux + [b"\x00" * 32]),
+            ([-1], [leaves[0]], aux),
+    ]:
+        assert not validate_multi_proof(
+            hasher, mt.root, 4, positions, blocks, aux2)
+    # empty position set is also invalid
+    assert not validate_multi_proof(hasher, mt.root, 4, [], [], [])
+
+
+def test_leaf_and_node_hashes_domain_separated():
+    """A 2-digest-sized leaf must not hash like an inner node."""
+    hasher = Blake2bHashing(128)
+    blob = bytes(range(64))  # == two 32-byte digests concatenated
+    assert hasher.leaf_hash(blob) != hasher.two_to_one(blob[:32], blob[32:])
+
+
+def test_noncanonical_prover_message_rejected(setup):
+    """v and v + p must not both verify (canonical transcripts)."""
+    F, dom, evals_ints, params = setup
+    _, _, _, transcript = _prove(F, dom, evals_ints, params)
+    t = BCSTranscript.deserialize(transcript.serialize())
+    mid = next(m for m, vals in t.prover_messages.items() if vals)
+    t.prover_messages[mid] = [t.prover_messages[mid][0] + F.p] \
+        + t.prover_messages[mid][1:]
+    v = BCSVerifier(F, params, t)
+    _build(v, F, dom, evals_ints)
+    assert not v.transcript_is_valid()

@@ -96,3 +96,20 @@ def test_serialization(field_fn, rng):
     # canonical -> montgomery roundtrip
     back = F.from_canonical_limbs(canon)
     assert [int(v) for v in F.to_ints(back)] == xs
+
+
+@pytest.mark.parametrize("field_fn", [edwards_fr, alt_bn128_fr])
+def test_random_sampling_uniform(field_fn):
+    """zk masking draws must cover the full field range: high bits of
+    random_ints draws must not be systematically zero (round-1 VERDICT
+    weakness 4: 62-bit draws in a 181-bit field leak)."""
+    F = field_fn()
+    rng = np.random.default_rng(99)
+    draws = F.random_ints(256, rng)
+    assert all(0 <= v < F.p for v in draws)
+    top_bits_set = sum(1 for v in draws if v >> (F.p.bit_length() - 8))
+    # each draw has its top byte nonzero w.p. ~ (p >> (bits-8)) / 256 > 1/4
+    assert top_bits_set > 16
+    # device-array sampling agrees in distribution (same code path)
+    arr = F.to_ints(F.random((64,), np.random.default_rng(7)))
+    assert any(int(v) >> (F.p.bit_length() - 16) for v in arr)

@@ -19,7 +19,7 @@ from libiop_tpu.snark.aurora import AuroraSnarkParams, aurora_snark_prover
 
 # sha256 of the canonical serialized transcript for the fixed configuration
 # below (filled in by running this file's __main__)
-GOLDEN_SHA256 = "1a8244c40b65ff39c99b50f5285297d56a2fc5c5336e88f309f076b40946304a"
+GOLDEN_SHA256 = "9f4f466afa2432b59f0a4d6ab186f7ea44c0b018c7d813593d7e18956edd894a"
 
 
 def _deterministic_proof():
