@@ -1,25 +1,68 @@
 """Benchmark entry point — prints ONE JSON line for the driver.
 
-Primary metric: single-chip NTT throughput (butterflies/s) on the real TPU
-over the edwards_Fr 181-bit field — the hottest kernel of the Aurora/Fractal
-provers (SURVEY.md §3.4, BASELINE.json "NTT butterflies/s").
+Primary metric: **Aurora prover seconds at 2^14 R1CS over edwards_Fr**
+(BASELINE.json config 1) on the real TPU chip, end-to-end through the public
+SNARK API (witness encode, lincheck/sumcheck, FRI, Merkle/BCS).  Secondary
+metrics (recorded to BENCH_DETAILS.json alongside): NTT butterflies/s,
+blake2b leaf hashes/s, argument size, and a per-phase timing tree.
 
-The axon remote-compile service has highly variable latency (30s-500s for
-the same graph), so the NTT compile is bounded by an alarm; if it trips, the
-fallback metric is batched field-multiply throughput (compiles in seconds).
+The axon remote-compile service has highly variable latency (30s-500s per
+graph), so each stage runs in a subprocess under its own budget; if the
+Aurora run cannot finish, the fallback metric is the NTT rate (the round-1
+metric), then batched field-multiply throughput.
 
-vs_baseline compares against estimated libiop single-core C++ rates:
-* NTT: ~1e7 butterflies/s (Montgomery mul + add/sub on 3x64b limbs,
-  cache-resident; consistent with the reference's benchmark_fft design point)
-* field mul: ~2.5e7 muls/s (~40ns per 181-bit Montgomery mul)
-The reference binaries cannot be built here (git submodules absent), so the
-anchors are estimates, stated explicitly.
+vs_baseline anchors (the C++ reference cannot be built here — submodules
+absent — so anchors are estimates, stated explicitly):
+* Aurora prover: libiop's paper-reported ~120 s at 2^20 constraints single
+  core [BCRSVW19] scaled O(N log N) to 2^14 => ~1.6 s.
+* NTT: ~1e7 butterflies/s single-core (Montgomery mul on 3x64b limbs).
+* field mul: ~2.5e7 muls/s (~40 ns per 181-bit Montgomery mul).
 """
 import json
 import os
 import subprocess
 import sys
 import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+_AURORA_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np
+import libiop_tpu.algebra.fft as fftmod
+fftmod._SCAN_THRESHOLD = 1 << {scan_log}  # bound XLA graph size / compile time
+from libiop_tpu.fields.prime import edwards_fr
+from libiop_tpu.relations.examples import generate_r1cs_example
+from libiop_tpu.snark.aurora import (AuroraSnarkParams, aurora_snark_prover,
+                                     aurora_snark_verifier)
+from libiop_tpu.utils.profiling import BlockProfiler
+
+F = edwards_fr()
+log_n = {log_n}
+n = 1 << log_n
+cs, primary, aux = generate_r1cs_example(F, n, 15, n - 1,
+                                         np.random.default_rng(0))
+params = AuroraSnarkParams(security_parameter=128, RS_extra_dimensions=2,
+                           fri_localization_parameter=2, make_zk=False,
+                           pow_bits=20)
+prof = BlockProfiler()
+with prof.block("warmup_proof"):
+    # first proof pays all remote compiles; persistently cached after
+    proof = aurora_snark_prover(cs, primary, aux, params)
+blob = proof.serialize()
+t0 = time.time()
+with prof.block("aurora_prove"):
+    proof = aurora_snark_prover(cs, primary, aux, params)
+dt = time.time() - t0
+t0 = time.time()
+ok = aurora_snark_verifier(cs, primary, proof, params)
+t_verify = time.time() - t0
+assert ok
+print(json.dumps({{"prover_s": dt, "verifier_s": t_verify,
+                   "argument_bytes": len(blob),
+                   "profile": prof.report()}}))
+"""
 
 _NTT_CHILD = r"""
 import json, sys, time
@@ -47,19 +90,47 @@ dt = (time.time() - t0) / runs
 print(json.dumps({{"dt": dt}}))
 """
 
+_HASH_CHILD = r"""
+import json, sys, time, os
+sys.path.insert(0, {repo!r})
+from libiop_tpu.bcs import native_blake2b
+blocks = [os.urandom(96) for _ in range(1 << 18)]
+native_blake2b.hash_batch(blocks[:64], 32, tag=b"\x00")  # warm/build
+t0 = time.time()
+out = native_blake2b.hash_batch(blocks, 32, tag=b"\x00")
+dt = time.time() - t0
+assert out is not None
+print(json.dumps({{"dt": dt, "n": len(blocks)}}))
+"""
 
-def bench_ntt(dim=16, budget_s=300):
-    """Run the NTT timing in a subprocess so an arbitrarily slow remote
-    compile can be killed (a Python alarm cannot interrupt the C call)."""
-    repo = os.path.dirname(os.path.abspath(__file__))
-    code = _NTT_CHILD.format(repo=repo, dim=dim)
+
+def _run_child(code: str, budget_s: int) -> dict:
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          timeout=budget_s, text=True)
     if out.returncode != 0:
-        raise RuntimeError(out.stderr[-500:])
-    dt = json.loads(out.stdout.strip().splitlines()[-1])["dt"]
+        raise RuntimeError(out.stderr[-800:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def bench_aurora(log_n=14, scan_log=14, budget_s=1500) -> tuple:
+    res = _run_child(
+        _AURORA_CHILD.format(repo=REPO, log_n=log_n, scan_log=scan_log),
+        budget_s)
+    # reference anchor: ~120 s at 2^20 single core, O(N log N) scaling
+    ref = 120.0 * ((1 << log_n) * log_n) / ((1 << 20) * 20)
+    primary = {
+        "metric": f"aurora_prover_s_edwards181_2e{log_n}",
+        "value": round(res["prover_s"], 3),
+        "unit": "seconds",
+        "vs_baseline": round(ref / max(res["prover_s"], 1e-9), 2),
+    }
+    return primary, res
+
+
+def bench_ntt(dim=16, budget_s=400) -> dict:
+    res = _run_child(_NTT_CHILD.format(repo=REPO, dim=dim), budget_s)
     N = 1 << dim
-    rate = (N // 2) * dim / dt
+    rate = (N // 2) * dim / res["dt"]
     return {
         "metric": f"ntt_butterflies_per_s_edwards181_2e{dim}",
         "value": round(rate),
@@ -68,39 +139,58 @@ def bench_ntt(dim=16, budget_s=300):
     }
 
 
-def bench_mul(F, dim=20):
-    import jax
-    import numpy as np
+def bench_hashes(budget_s=200) -> dict:
+    res = _run_child(_HASH_CHILD.format(repo=REPO), budget_s)
+    rate = res["n"] / res["dt"]
+    return {"metric": "blake2b_leaf_hashes_per_s", "value": round(rate),
+            "unit": "hashes/s", "vs_baseline": round(rate / 2.0e6, 2)}
 
+
+def bench_mul(dim=20) -> dict:
+    import numpy as np
+    import jax
+    from libiop_tpu.fields.prime import edwards_fr
+    F = edwards_fr()
     N = 1 << dim
     rng = np.random.default_rng(7)
     a = F.random((N,), rng)
     b = F.random((N,), rng)
     mulj = jax.jit(F.mul)
     mulj(a, b).block_until_ready()
-    runs = 20
     t0 = time.time()
     out = a
-    for _ in range(runs):
+    for _ in range(20):
         out = mulj(out, b)
     out.block_until_ready()
-    dt = (time.time() - t0) / runs
-    rate = N / dt
-    return {
-        "metric": f"field_mul_per_s_edwards181_2e{dim}",
-        "value": round(rate),
-        "unit": "muls/s",
-        "vs_baseline": round(rate / 2.5e7, 2),
-    }
+    dt = (time.time() - t0) / 20
+    return {"metric": f"field_mul_per_s_edwards181_2e{dim}",
+            "value": round(N / dt), "unit": "muls/s",
+            "vs_baseline": round((N / dt) / 2.5e7, 2)}
 
 
 def main():
+    details = {}
+    primary = None
     try:
-        result = bench_ntt()
-    except Exception:
-        from libiop_tpu.fields.prime import edwards_fr
-        result = bench_mul(edwards_fr())
-    print(json.dumps(result))
+        primary, aurora_res = bench_aurora()
+        details["aurora_2e14"] = aurora_res
+    except Exception as e:  # noqa: BLE001 — fall back to the round-1 metric
+        details["aurora_error"] = str(e)[-300:]
+    for name, fn in [("ntt", bench_ntt), ("hashes", bench_hashes)]:
+        try:
+            details[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            details[name + "_error"] = str(e)[-300:]
+    if primary is None:
+        primary = details.get("ntt")
+    if primary is None:
+        primary = bench_mul()
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":

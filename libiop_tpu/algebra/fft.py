@@ -95,7 +95,17 @@ def _butterfly_stages(F: PrimeField, x, W, N: int, first_m: int):
 def fft(coeffs, domain: MultiplicativeCoset):
     """Evaluate polynomial(s) with coefficient array ``coeffs`` (L, *batch, d)
     over ``domain`` (order N >= d); returns (L, *batch, N) natural-order
-    evaluations."""
+    evaluations.
+
+    Eager callers are transparently routed through a cached jit (one device
+    dispatch per call — critical under remote-TPU dispatch latency); traced
+    callers inline as before."""
+    if not isinstance(coeffs, jax.core.Tracer):
+        return _eager_jit("fft", _fft_impl, coeffs, domain)
+    return _fft_impl(coeffs, domain)
+
+
+def _fft_impl(coeffs, domain: MultiplicativeCoset):
     F = domain.field
     N = domain.order
     d = coeffs.shape[-1]
@@ -121,6 +131,12 @@ def fft(coeffs, domain: MultiplicativeCoset):
 
 def ifft(evals, domain: MultiplicativeCoset):
     """Interpolate: (L, *batch, N) natural-order evals -> coefficients."""
+    if not isinstance(evals, jax.core.Tracer):
+        return _eager_jit("ifft", _ifft_impl, evals, domain)
+    return _ifft_impl(evals, domain)
+
+
+def _ifft_impl(evals, domain: MultiplicativeCoset):
     F = domain.field
     N = domain.order
     assert evals.shape[-1] == N
@@ -156,6 +172,14 @@ def ifft_of_known_degree(evals, domain: MultiplicativeCoset, degree_bound: int):
 
 # jitted-and-cached entry points for eager callers (tests, host orchestration)
 _jit_cache = {}
+
+
+def _eager_jit(tag, impl, arr, domain):
+    key = (tag, domain, getattr(arr, "shape", None), _SCAN_THRESHOLD)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = _jit_cache[key] = jax.jit(lambda a: impl(a, domain))
+    return fn(jnp.asarray(arr))
 
 
 def jfft(coeffs, domain: MultiplicativeCoset):

@@ -62,12 +62,18 @@ def linearized_vanishing(H: AffineSubspace) -> LinearizedVanishing:
 # ---------------------------------------------------------------------------
 def fft_any(coeffs, domain):
     if is_additive(domain):
+        if coeffs.ndim == 3:  # batched rows (limbs, R, n) — Ligero encode
+            return jnp.stack([additive_fft(coeffs[:, i], domain)
+                              for i in range(coeffs.shape[1])], axis=1)
         return additive_fft(coeffs, domain)
     return fft(coeffs, domain)
 
 
 def ifft_any(evals, domain):
     if is_additive(domain):
+        if evals.ndim == 3:
+            return jnp.stack([additive_ifft(evals[:, i], domain)
+                              for i in range(evals.shape[1])], axis=1)
         return additive_ifft(evals, domain)
     return ifft(evals, domain)
 
@@ -189,19 +195,31 @@ def host_powers_any(F, x_int: int, n: int, start: int = 1):
 def lagrange_coeffs_ints_any(domain, x: int) -> List[int]:
     """Host-int Lagrange coefficients of a (small) domain at x:
     L_k(x) = Z(x) / (Z'(e_k) * (x - e_k)); Z' is constant (eps) for
-    subspaces and h*s^{h-1}*g^{-k} for cosets (lagrange.tcc duality)."""
+    subspaces and h*s^{h-1}*g^{-k} for cosets (lagrange.tcc duality).
+    Memoized per (domain, point) — the lagrange_cache role
+    (lagrange.hpp:21-55): the verifier re-queries the same point across
+    oracles/repetitions."""
+    cache = getattr(domain, "_lagrange_cache", None)
+    if cache is None:
+        cache = domain._lagrange_cache = {}
+    hit = cache.get(x)
+    if hit is not None:
+        return hit
     F = domain.field
     h = domain.order
     elems = [domain.element_by_index_int(i) for i in range(h)]
     for i, e in enumerate(elems):
         if e == x:
-            return [1 if j == i else 0 for j in range(h)]
+            out = [1 if j == i else 0 for j in range(h)]
+            cache[x] = out
+            return out
     z_x = vanishing_eval_int(domain, x)
     out = []
     for i, e in enumerate(elems):
         zp = vanishing_derivative_int_at_element(domain, i)
         denom = F.mul_ints(zp, F.sub_ints(x, e))
         out.append(F.mul_ints(z_x, F.inv_int(denom)))
+    cache[x] = out
     return out
 
 

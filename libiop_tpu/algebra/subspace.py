@@ -145,9 +145,31 @@ def _fft_stage_tables(domain: AffineSubspace):
     return twist_powers, unwind
 
 
+_jit_cache = {}
+
+
+def _eager_jit(tag, impl, arr, domain):
+    """Route eager calls through a cached jit: one device dispatch per call
+    (remote-TPU dispatch latency makes per-stage eager ops prohibitive)."""
+    key = (tag, domain, getattr(arr, "shape", None))
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = _jit_cache[key] = jax.jit(lambda a: impl(a, domain))
+    return fn(jnp.asarray(arr))
+
+
 def additive_fft(coeffs, domain: AffineSubspace):
     """Evaluate coeffs (W, d<=n) over the subspace; returns (W, n) in
     subset-sum (natural) order."""
+    if not isinstance(coeffs, jax.core.Tracer):
+        # warm the host-side table caches outside the trace
+        if domain._fft_tables is None:
+            _ = _fft_stage_tables(domain)
+        return _eager_jit("afft", _additive_fft_impl, coeffs, domain)
+    return _additive_fft_impl(coeffs, domain)
+
+
+def _additive_fft_impl(coeffs, domain: AffineSubspace):
     F = domain.field
     n = domain.order
     d = coeffs.shape[-1]
@@ -190,6 +212,12 @@ def additive_fft(coeffs, domain: AffineSubspace):
 
 def additive_ifft(evals, domain: AffineSubspace):
     """Inverse of additive_fft: (W, n) evals -> (W, n) coefficients."""
+    if not isinstance(evals, jax.core.Tracer):
+        return _eager_jit("aifft", _additive_ifft_impl, evals, domain)
+    return _additive_ifft_impl(evals, domain)
+
+
+def _additive_ifft_impl(evals, domain: AffineSubspace):
     F = domain.field
     n = domain.order
     m = domain.dim

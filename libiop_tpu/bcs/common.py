@@ -26,21 +26,26 @@ from .pow import PowParameters
 @dataclasses.dataclass
 class BCSParameters:
     security_bits: int = 128
-    hash_name: str = "blake2b"  # "blake2b" | "poseidon"
+    #: "blake2b" | "poseidon" (Cauchy-MDS, alpha=5) | "poseidon_high_alpha"
+    #: (near-MDS, alpha=17) — the three hash enums of hash_enum.hpp:21-27
+    hash_name: str = "blake2b"
     pow_bits: int = 0
 
     def make_hasher(self, field: Optional[PrimeField] = None):
-        if self.hash_name == "poseidon":
+        if self.hash_name in ("poseidon", "poseidon_high_alpha"):
             from .poseidon import PoseidonHashing
-            assert field is not None
-            return PoseidonHashing(field, self.security_bits)
+            assert field is not None and hasattr(field, "p"), \
+                "algebraic hashes need a prime field"
+            return PoseidonHashing(field, self.security_bits,
+                                   variant=self.hash_name)
         assert self.hash_name == "blake2b", self.hash_name
         return Blake2bHashing(self.security_bits)
 
     def make_hashchain(self, field: PrimeField):
-        if self.hash_name == "poseidon":
+        if self.hash_name in ("poseidon", "poseidon_high_alpha"):
             from .poseidon import PoseidonHashchain
-            return PoseidonHashchain(field, self.security_bits)
+            return PoseidonHashchain(field, self.security_bits,
+                                     variant=self.hash_name)
         return Blake2bHashchain(field, self.security_bits)
 
     def make_pow(self) -> PowParameters:

@@ -58,6 +58,22 @@ class MerkleTree:
                 nodes[i] = hasher.two_to_one(nodes[2 * i], nodes[2 * i + 1])
         self.nodes = nodes
 
+    @classmethod
+    def from_nodes(cls, hasher, num_leaves: int, nodes: List[bytes],
+                   make_zk: bool = False, salts: Optional[List[bytes]] = None
+                   ) -> "MerkleTree":
+        """Rehydrate a tree from persisted node data WITHOUT rehashing —
+        the Fractal prover-index checkpoint (bcs_prover.tcc:11-21: the
+        prover consumes pre-built index MTs)."""
+        mt = cls.__new__(cls)
+        mt.hasher = hasher
+        mt.num_leaves = num_leaves
+        mt.make_zk = make_zk
+        mt.salts = salts
+        mt.nodes = list(nodes)
+        assert len(mt.nodes) == 2 * num_leaves
+        return mt
+
     @property
     def root(self) -> bytes:
         return self.nodes[1]

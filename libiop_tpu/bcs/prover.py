@@ -30,7 +30,13 @@ class BCSProver(IOPProtocol):
         self.mt_leaf_blocks: Dict[Tuple[int, int], List[bytes]] = {}
         self.mt_roots: Dict[Tuple[int, int], bytes] = {}
         self.pow_nonce = 0
-        self._index_trees_preloaded = False
+        self._preloaded_trees = None
+
+    def preload_index_trees(self, mt_data: Dict[Tuple[int, int], tuple]):
+        """Install persisted round-0 Merkle data {(0, dom_id): (leaf_blocks,
+        nodes)} so proving skips index serialization + hashing entirely
+        (bcs_prover.tcc:11-21 preprocessing mode)."""
+        self._preloaded_trees = dict(mt_data)
 
     # -- round finalization ------------------------------------------------
     def _round_oracle_groups(self, rnd: int) -> List[Tuple[int, List[int]]]:
@@ -48,11 +54,17 @@ class BCSProver(IOPProtocol):
         rp = self.get_round_parameters(rnd)
         for dom_id, oracle_ids in self._round_oracle_groups(rnd):
             dom = self.domains[dom_id]
-            evals = [self.oracle_evals[i] for i in oracle_ids]
-            make_zk = any(self.oracle_regs[i].make_zk for i in oracle_ids)
-            blocks = serialize_leaf_blocks(
-                self.F, evals, dom, rp.quotient_map_size)
-            mt = MerkleTree(self.hasher, blocks, make_zk=make_zk)
+            preloaded = (self._preloaded_trees or {}).get((rnd, dom_id))
+            if preloaded is not None:
+                blocks, nodes = preloaded
+                mt = MerkleTree.from_nodes(
+                    self.hasher, len(blocks), nodes)
+            else:
+                evals = [self.oracle_evals[i] for i in oracle_ids]
+                make_zk = any(self.oracle_regs[i].make_zk for i in oracle_ids)
+                blocks = serialize_leaf_blocks(
+                    self.F, evals, dom, rp.quotient_map_size)
+                mt = MerkleTree(self.hasher, blocks, make_zk=make_zk)
             self.merkle_trees[(rnd, dom_id)] = mt
             self.mt_oracle_ids[(rnd, dom_id)] = oracle_ids
             self.mt_leaf_blocks[(rnd, dom_id)] = blocks

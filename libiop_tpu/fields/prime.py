@@ -329,6 +329,15 @@ class PrimeField:
         s = s.reshape((self.L,) + (1,) * (a.ndim - 1))
         return self.mul(a, s)
 
+    def segment_reduce(self, prod, seg_ids, num_segments: int):
+        """Segment-sum of field values: prod (L, nnz) -> (L, num_segments).
+        Lazy limb accumulation (no per-term carries) + one wide Montgomery
+        reduction (the TPU replacement for sequential modular accumulation)."""
+        lazy = jax.ops.segment_sum(
+            jnp.moveaxis(prod, 0, -1), seg_ids, num_segments=num_segments)
+        lazy = jnp.moveaxis(lazy, -1, 0)
+        return self.lazy_sum_reduce(lazy)
+
     # ------------------------------------------------------------------
     # exponentiation / inversion
     # ------------------------------------------------------------------

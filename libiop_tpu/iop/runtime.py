@@ -258,7 +258,10 @@ class IOPProtocol:
         expected_round = self._rounds_done
         assert reg.round == expected_round, (
             f"oracle for round {reg.round} submitted during round {expected_round}")
-        self.oracle_evals[handle.id] = evals
+        # under an active device-mesh context, oracles shard over the
+        # codeword axis (GSPMD then shards every downstream op)
+        from ..parallel.mesh import maybe_shard_codeword
+        self.oracle_evals[handle.id] = maybe_shard_codeword(evals)
         self._pending_round_oracles.append(handle.id)
 
     def submit_prover_message(self, handle: ProverMessageHandle, values: List[int]):

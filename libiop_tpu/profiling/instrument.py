@@ -26,18 +26,32 @@ def run_aurora(log_n, args, F):
         F, n, (1 << 4) - 1, n - 1, np.random.default_rng(0))
     loc_vector = None
     if args.optimize_localization:
-        from ..protocols.fri_optimizer import optimize_localization_parameters
         p0 = AuroraSnarkParams(
             security_parameter=args.security_level,
             RS_extra_dimensions=args.rs_extra_dimensions,
             make_zk=bool(args.make_zk)).iop_params(F, n, n - 1)
-        loc_vector, predicted = optimize_localization_parameters(
-            F, args.security_level, p0.ldt_reducer_params.max_tested_degree_bound,
-            p0.codeword_domain_dim, args.rs_extra_dimensions,
-            p0.ldt_reducer_params.absolute_proximity_parameter,
-            num_input_oracles=9)
-        print(json.dumps({"optimized_localization": loc_vector,
-                          "predicted_fri_bytes": round(predicted)}), flush=True)
+        if args.optimize_localization == 2:  # recursive-circuit cost mode
+            from ..protocols.fri_optimizer import \
+                optimize_localization_for_circuit_size
+            loc_vector, predicted = optimize_localization_for_circuit_size(
+                [9], p0.codeword_domain_dim,
+                p0.fri_params.num_query_repetitions,
+                p0.ldt_reducer_params.max_tested_degree_bound)
+            print(json.dumps({"optimized_localization": loc_vector,
+                              "predicted_circuit_constraints": predicted}),
+                  flush=True)
+        else:
+            from ..protocols.fri_optimizer import \
+                optimize_localization_parameters
+            loc_vector, predicted = optimize_localization_parameters(
+                F, args.security_level,
+                p0.ldt_reducer_params.max_tested_degree_bound,
+                p0.codeword_domain_dim, args.rs_extra_dimensions,
+                p0.ldt_reducer_params.absolute_proximity_parameter,
+                num_input_oracles=9)
+            print(json.dumps({"optimized_localization": loc_vector,
+                              "predicted_fri_bytes": round(predicted)}),
+                  flush=True)
     params = AuroraSnarkParams(
         security_parameter=args.security_level,
         RS_extra_dimensions=args.rs_extra_dimensions,
@@ -122,7 +136,12 @@ def main():
     ap.add_argument("--log_n_max", type=int, default=8)
     ap.add_argument("--security_level", type=int, default=64)
     ap.add_argument("--field_size", type=int, default=181,
-                    choices=[181, 254], help="181=edwards_Fr, 254=alt_bn128_Fr")
+                    choices=[64, 128, 181, 192, 254, 256],
+                    help="181/254 = edwards_Fr/alt_bn128_Fr (multiplicative); "
+                         "64/128/192/256 = GF(2^k) (additive subspaces)")
+    ap.add_argument("--is_multiplicative", type=int, default=None,
+                    help="1=prime-field cosets, 0=binary-field subspaces "
+                         "(inferred from --field_size when omitted)")
     ap.add_argument("--make_zk", type=int, default=0)
     ap.add_argument("--hash_enum", default="blake2b",
                     choices=["blake2b", "poseidon"])
@@ -131,7 +150,8 @@ def main():
     ap.add_argument("--height_width_ratio", type=float, default=1.0)
     ap.add_argument("--pow_bits", type=int, default=0)
     ap.add_argument("--optimize_localization", type=int, default=0,
-                    help="search FRI localization vectors (aurora only)")
+                    help="search FRI localization vectors (aurora only): "
+                         "1=argument size, 2=recursive-circuit size")
     ap.add_argument("--detailed", action="store_true",
                     help="print the per-round transcript cost breakdown")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -142,7 +162,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from ..fields.prime import edwards_fr, alt_bn128_fr
-    F = edwards_fr() if args.field_size == 181 else alt_bn128_fr()
+    from ..fields import binary
+    fields = {181: edwards_fr, 254: alt_bn128_fr, 64: binary.gf64,
+              128: binary.gf128, 192: binary.gf192, 256: binary.gf256}
+    F = fields[args.field_size]()
+    if args.is_multiplicative is not None:
+        want = "multiplicative" if args.is_multiplicative else "additive"
+        assert F.kind == want, (
+            f"--field_size {args.field_size} is a {F.kind} field")
     runner = {"aurora": run_aurora, "fractal": run_fractal,
               "ligero": run_ligero}[args.snark]
     for log_n in range(args.log_n_min, args.log_n_max + 1):

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset
+from ..algebra.generic import element_outside_of_subset, make_domain
 from ..iop.runtime import IOPProtocol, RoundParameters
 from ..relations.r1cs import R1CS
 from .fri import FRIParameters, FRIProtocol, FRISoundnessType
@@ -29,7 +30,7 @@ from .r1cs_rs_iop import EncodedAurora, EncodedAuroraParams
 
 
 class AuroraIOPParams:
-    def __init__(self, F: PrimeField, security_parameter: int,
+    def __init__(self, F, security_parameter: int,
                  RS_extra_dimensions: int, make_zk: bool,
                  num_constraints: int, num_variables: int,
                  fri_localization_parameter: int = 2,
@@ -123,10 +124,14 @@ class AuroraIOP:
         self.F = iop.F
         self.params = params
         F = self.F
-        constraint_domain = MultiplicativeCoset(F, params.constraint_domain_dim)
-        variable_domain = MultiplicativeCoset(F, params.variable_domain_dim)
-        codeword_domain = MultiplicativeCoset(
-            F, params.codeword_domain_dim, shift=F.multiplicative_generator)
+        # systematic domains are canonical subgroups/subspaces; the codeword
+        # domain is shifted by an element outside the same-size canonical
+        # domain so it is disjoint (aurora_iop.tcc:278-291 for both families)
+        constraint_domain = make_domain(F, params.constraint_domain_dim)
+        variable_domain = make_domain(F, params.variable_domain_dim)
+        codeword_domain = make_domain(
+            F, params.codeword_domain_dim,
+            shift=element_outside_of_subset(F, params.codeword_domain_dim))
         ch = iop.register_domain(constraint_domain)
         vh = iop.register_domain(variable_domain)
         self.codeword_handle = iop.register_domain(codeword_domain)

@@ -39,8 +39,8 @@ class SingleBoundaryConstraint(VirtualOracle):
         self.oracle_eval = None
 
     def set_evaluation_point_and_eval(self, beta: int, value: int):
-        self.eval_point = beta % self.F.p
-        self.oracle_eval = value % self.F.p
+        self.eval_point = self.F.sample_int(beta)
+        self.oracle_eval = self.F.sample_int(value)
 
     def evaluated_contents(self, evals):
         assert self.eval_point is not None
@@ -54,9 +54,9 @@ class SingleBoundaryConstraint(VirtualOracle):
 
     def evaluation_at_point(self, position, x, vals):
         assert self.eval_point is not None
-        p = self.F.p
-        return (vals[0] - self.oracle_eval) * pow((x - self.eval_point) % p,
-                                                  p - 2, p) % p
+        F = self.F
+        return F.mul_ints(F.sub_ints(vals[0], self.oracle_eval),
+                          F.inv_int(F.sub_ints(x, self.eval_point)))
 
 
 class CombinedDenominator(VirtualOracle):
@@ -74,10 +74,10 @@ class CombinedDenominator(VirtualOracle):
         return acc
 
     def evaluation_at_point(self, position, x, vals):
-        p = self.F.p
+        F = self.F
         acc = 1
         for v in vals:
-            acc = acc * v % p
+            acc = F.mul_ints(acc, v)
         return acc
 
 
@@ -92,7 +92,7 @@ class CombinedNumerator(VirtualOracle):
 
     def set_coefficients(self, coeffs):
         assert len(coeffs) == self.n
-        self.coefficients = [int(c) % self.F.p for c in coeffs]
+        self.coefficients = [self.F.sample_int(int(c)) for c in coeffs]
 
     def evaluated_contents(self, evals):
         assert self.coefficients is not None
@@ -110,15 +110,15 @@ class CombinedNumerator(VirtualOracle):
 
     def evaluation_at_point(self, position, x, vals):
         assert self.coefficients is not None
-        p = self.F.p
+        F = self.F
         nums, dens = vals[:self.n], vals[self.n:]
         total = 0
         for i in range(self.n):
-            cur = self.coefficients[i] * nums[i] % p
+            cur = F.mul_ints(self.coefficients[i], nums[i])
             for j in range(self.n):
                 if j != i:
-                    cur = cur * dens[j] % p
-            total = (total + cur) % p
+                    cur = F.mul_ints(cur, dens[j])
+            total = F.add_ints(total, cur)
         return total
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import math
 from typing import List
 
-from ..algebra.fft import ifft_of_known_degree
+from ..algebra.generic import horner_eval_ints, ifft_known_any
 from ..iop.runtime import IOPProtocol, OracleHandle
 
 
@@ -59,23 +59,20 @@ class DirectLDT:
         F = self.F
         for ph, ch in zip(self.poly_handles, self.coeff_handles):
             evals = self.iop.get_oracle_evaluations(ph)
-            coeffs = ifft_of_known_degree(evals, self.L,
-                                          self.params.poly_degree_bound)
+            coeffs = ifft_known_any(evals, self.L,
+                                    self.params.poly_degree_bound)
             ints = [int(v) for v in
                     F.to_ints(coeffs[:, :self.params.poly_degree_bound])]
             self.iop.submit_prover_message(ch, ints)
         self.iop.signal_prover_round_done()
 
     def verifier_predicate(self) -> bool:
-        p = self.F.p
         for k, pos_h in enumerate(self.position_handles):
             pos = self.iop.obtain_query_position(pos_h)
             x = self.L.element_by_index_int(pos)
             for i, ch in enumerate(self.coeff_handles):
                 coeffs = self.iop.receive_prover_message(ch)
-                val = 0
-                for c in reversed(coeffs):
-                    val = (val * x + c) % p
+                val = horner_eval_ints(self.F, coeffs, x)
                 if val != self.iop.obtain_query_response(self.query_handles[k][i]):
                     return False
         return True

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset
+from ..algebra.generic import element_outside_of_subset, make_domain
 from ..iop.runtime import IOPProtocol, RoundParameters
 from ..relations.r1cs import R1CS
 from .fri import FRIParameters, FRIProtocol, FRISoundnessType
@@ -28,7 +29,7 @@ from .r1cs_rs_iop import EncodedAurora, EncodedAuroraParams
 
 
 class FractalIOPParams:
-    def __init__(self, F: PrimeField, security_parameter: int, pow_bits: int,
+    def __init__(self, F, security_parameter: int, pow_bits: int,
                  RS_extra_dimensions: int, make_zk: bool, r1cs: R1CS,
                  fri_localization_parameter: int = 2,
                  fri_soundness_type: str = FRISoundnessType.heuristic,
@@ -97,10 +98,11 @@ class FractalIOP:
         self.params = params
         self.r1cs = r1cs
         F = self.F
-        index_domain = MultiplicativeCoset(F, params.index_domain_dim)
-        matrix_domain = MultiplicativeCoset(F, params.matrix_domain_dim)
-        codeword_domain = MultiplicativeCoset(
-            F, params.codeword_domain_dim, shift=F.multiplicative_generator)
+        index_domain = make_domain(F, params.index_domain_dim)
+        matrix_domain = make_domain(F, params.matrix_domain_dim)
+        codeword_domain = make_domain(
+            F, params.codeword_domain_dim,
+            shift=element_outside_of_subset(F, params.codeword_domain_dim))
         self.index_handle = iop.register_domain(index_domain)
         self.matrix_handle = iop.register_domain(matrix_domain)
         self.codeword_handle = iop.register_domain(codeword_domain)
@@ -152,22 +154,31 @@ class FractalIOP:
         self.protocol.set_index_vectors_over_K(vectors)
         self.iop.signal_prover_round_done()
 
-    def submit_index(self, index_evals):
-        """Resubmit precomputed index oracles (prover phase of the 3-phase
-        flow): index_evals = {oracle_id: evals} plus K-vectors."""
-        F = self.F
-        evals_map, vectors = index_evals
+    def submit_index(self, index_artifact):
+        """Resubmit a precomputed index (prover phase of the 3-phase flow):
+        (oracle evals, K-vectors, round-0 MT data).  The MT data is preloaded
+        into the BCS prover so round 0 costs zero hashing."""
+        from ..iop.runtime import OracleHandle
+        evals_map, vectors, mt_data = index_artifact
+        if mt_data and hasattr(self.iop, "preload_index_trees"):
+            self.iop.preload_index_trees(mt_data)
         for oid, ev in evals_map.items():
-            from ..iop.runtime import OracleHandle
             self.iop.submit_oracle(OracleHandle(oid), ev)
         self.protocol.set_index_vectors_over_K(vectors)
         self.iop.signal_prover_round_done()
 
     def get_index_artifact(self):
-        """The persistent prover index (evals of round-0 oracles + K-vectors)."""
+        """The persistent prover index: evals of round-0 oracles, K-vectors,
+        and the round-0 Merkle data (leaf blocks + node digests) so proving
+        never re-serializes or re-hashes the index (a true checkpoint,
+        bcs_prover.tcc:11-21)."""
         evals_map = {i: self.iop.oracle_evals[i]
                      for i, reg in enumerate(self.iop.oracle_regs) if reg.is_index}
-        return (evals_map, self.protocol.multi_lincheck._index_vectors)
+        mt_data = {}
+        for key, mt in getattr(self.iop, "merkle_trees", {}).items():
+            if key[0] == 0:
+                mt_data[key] = (self.iop.mt_leaf_blocks[key], mt.nodes)
+        return (evals_map, self.protocol.multi_lincheck._index_vectors, mt_data)
 
     # -- prove / verify ----------------------------------------------------
     def produce_proof(self, primary: List[int], auxiliary: List[int]):

@@ -14,9 +14,8 @@ from typing import List
 
 import numpy as np
 
-from ..fields.prime import PrimeField
-from ..algebra.domains import MultiplicativeCoset
-from ..algebra.fft import fft, ifft
+from ..algebra.generic import (fft_any, ifft_any,
+                               vanishing_derivative_int_at_element)
 from ..iop.runtime import IOPProtocol, OracleHandle
 from ..relations.sparse import SparseMatrix
 
@@ -51,7 +50,6 @@ class MatrixIndexer:
         """Host assembly of the four |K|-vectors (canonical ints), mirroring
         fractal_indexer.tcc:53-124 (including the transpose swap)."""
         F = self.F
-        p = F.p
         H = self.H
         row_evals, col_evals, val_evals, rc_evals = [], [], [], []
         # iterate entries grouped by row (row-major like get_row loops)
@@ -63,19 +61,20 @@ class MatrixIndexer:
             row_elem = H.element_by_index_int(i)
             col_index = H.reindex_by_subgroup(self.input_variable_dim, var)
             col_elem = H.element_by_index_int(col_index)
-            # u_H(col,col) = Z'_H(col) = |H| * col^{|H|-1}
-            deriv = H.order * pow(col_elem, H.order - 1, p) % p
-            val = coeff * pow(deriv, p - 2, p) % p
+            # u_H(col,col) = Z'_H(col): h*col^{h-1} (coset) / eps (subspace)
+            deriv = vanishing_derivative_int_at_element(H, col_index)
+            val = F.mul_ints(coeff, F.inv_int(deriv))
             row_evals.append(row_elem)
             col_evals.append(col_elem)
             val_evals.append(val)
-            rc_evals.append(row_elem * col_elem % p)
+            rc_evals.append(F.mul_ints(row_elem, col_elem))
         pad_elem = H.element_by_index_int(0)
+        pad_rc = F.mul_ints(pad_elem, pad_elem)
         while len(row_evals) < self.K.order:
             row_evals.append(pad_elem)
             col_evals.append(pad_elem)
             val_evals.append(0)
-            rc_evals.append(pad_elem * pad_elem % p)
+            rc_evals.append(pad_rc)
         # transpose: swap row and col (val already indexed for M')
         row_evals, col_evals = col_evals, row_evals
         return row_evals, col_evals, val_evals, rc_evals
@@ -93,5 +92,5 @@ class MatrixIndexer:
         handles = [self.row_handle, self.col_handle, self.val_handle,
                    self.row_times_col_handle]
         for vec, handle in zip(vectors, handles):
-            coeffs = ifft(F.from_ints(vec), self.K)
-            self.iop.submit_oracle(handle, fft(coeffs, self.L))
+            coeffs = ifft_any(F.from_ints(vec), self.K)
+            self.iop.submit_oracle(handle, fft_any(coeffs, self.L))

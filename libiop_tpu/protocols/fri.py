@@ -1,25 +1,34 @@
-"""FRI low-degree test over multiplicative cosets, TPU-first.
+"""FRI low-degree test over BOTH domain families, TPU-first.
 
-Counterpart of libiop/protocols/ldt/fri/fri_ldt.{hpp,tcc} + fri_aux.tcc:
-* domain chain L^(i+1) = q^(i)(L^(i)) with q(x) = x^{2^eta_i} (per-round
-  localization parameters, fri_ldt.tcc:280-339); with natural-order
-  evaluations a size-c coset occupies strided positions
-  {j, j+N/c, ..., j+(c-1)N/c}, so the fold is a plain reshape — no gathers;
+Counterpart of libiop/protocols/ldt/fri/fri_ldt.{hpp,tcc} + fri_aux.tcc +
+localizer_polynomial.{hpp,tcc}:
+* domain chain L^(i+1) = q^(i)(L^(i)) with per-round localization parameters
+  (fri_ldt.tcc:280-339): multiplicative q(x) = x^{2^eta_i}; additive
+  q(x) = Z_{V_i}(x), the linearized vanishing polynomial of the localizer
+  subspace V_i = span(first eta_i basis vectors) — next basis/shift are the
+  images of the remaining basis vectors / shift under q;
+* coset layout follows the domain (natural order): multiplicative cosets are
+  strided {j, j+N/c, ...} so the fold is a plain reshape; additive cosets are
+  contiguous [j*c, (j+1)*c);
 * interactive phase: fold per coset at the verifier challenge x_i
-  (fri_aux.tcc:107-250), final polynomial by IFFT truncated to the bound
-  (fri_ldt.tcc:532-543);
+  (fri_aux.tcc:37-105 additive, 107-250 multiplicative), final polynomial by
+  IFFT truncated to the bound (fri_ldt.tcc:532-543);
 * query phase: one random s0 per repetition, then deterministic coset-chasing
-  (fri_ldt.tcc:401-473); round_parameters group each coset into one Merkle
-  leaf so a full coset costs one leaf reveal;
+  through the domain's index arithmetic (fri_ldt.tcc:401-473);
 * verifier: per-round coset interpolation + chain-consistency + final-poly
   check (fri_ldt.tcc:574-642).
 
-TPU-native fold (replaces the reference's batch-inversion Lagrange path):
-restricted to coset {h_j g^k}, f equals p_j(u) = sum_t a_t[j] u^t with
-a_t[j] = (1/c) sum_k f[k,j] g^{-tk} — a c-point inverse NTT along the intra-
-coset axis — and the folded value is p_j(x/h_j) = sum_t a_t[j] (x/shift)^t
-G^{-jt}.  Everything is dense batched muls over (c, N/c) blocks; zero
-inversions, no special case for x in the domain.
+TPU-native folds:
+* multiplicative (replaces the reference's batch-inversion Lagrange path):
+  restricted to coset {h_j g^k}, f equals p_j(u) = sum_t a_t[j] u^t with
+  a_t[j] = (1/c) sum_k f[k,j] g^{-tk} — a c-point inverse NTT along the
+  intra-coset axis — and the folded value is p_j(x/h_j); zero inversions;
+* additive (fri_aux.tcc:37-105 math, batched): Lagrange coefficient of coset
+  element e is eps^{-1} * Z_j(x) / (x - e) with Z_j the coset's vanishing
+  polynomial (= unshifted Z_V offset by a per-coset constant, F2-linearity)
+  and eps = Z_V's linear coefficient; one full-width batched Itoh-Tsujii
+  inversion replaces the reference's per-coset sequential batch_inverse,
+  and the x-in-domain special case is a masked select instead of a branch.
 """
 from __future__ import annotations
 
@@ -29,15 +38,18 @@ from typing import List, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset
-from ..algebra.fft import ifft
-from ..algebra.poly import horner_eval
+from ..algebra.subspace import AffineSubspace, subset_sums_ints
+from ..algebra.linearized import LinearizedVanishing
+from ..algebra.generic import ifft_known_any, is_additive
 from ..iop.runtime import IOPProtocol, OracleHandle, RoundParameters
 
 
-def log2_field_size(F: PrimeField) -> float:
-    """Soundness log2|F| (libff soundness_log_of_field_size_helper role)."""
+def log2_field_size(F) -> float:
+    """Soundness log2|F| for either family (libff
+    soundness_log_of_field_size_helper role)."""
+    if F.kind == "additive":
+        return float(F.k)
     b = F.p.bit_length()
     return math.log2(F.p >> max(0, b - 53)) + max(0, b - 53)
 
@@ -51,7 +63,7 @@ class FRIParameters:
     """Repetition counts from the FRI soundness analysis
     (fri_ldt.tcc:1-254, both proven and heuristic modes)."""
 
-    def __init__(self, F: PrimeField,
+    def __init__(self, F,
                  interactive_soundness_bits: int,
                  query_soundness_bits: int,
                  soundness_type: str,
@@ -110,42 +122,68 @@ class FRIParameters:
         return -(-degree // m) * m
 
 
-def fold_codeword(F: PrimeField, evals, domain: MultiplicativeCoset,
-                  eta: int, x_int: int):
-    """One FRI reduction of a natural-order codeword (see module docstring).
-    Returns the folded (L, N/2^eta) codeword over q(domain), q(x)=x^{2^eta}."""
+# ---------------------------------------------------------------------------
+# multiplicative fold — batched + jitted: one compiled call per (domain, eta),
+# the challenge enters as a device scalar so eta=3-4 folds cost ONE dispatch
+# instead of O(c^2) eager chains (fri_aux.tcc:107-250 semantics)
+# ---------------------------------------------------------------------------
+_FOLD_FN_CACHE = {}
+
+
+def _build_fold_fn(F, domain: MultiplicativeCoset, eta: int):
+    import functools
+    import jax
+    from ..algebra.domains import _powers_doubling
+
     c = 1 << eta
     N = domain.order
     nc = N // c
     p = F.p
-    v = evals.reshape(F.L, c, nc)
-    # per-coset inverse NTT along the intra axis: a_t = (1/c) sum_k v_k g^{-tk}
-    g = pow(F.root_of_unity, 1 << (F.two_adicity - eta), p)  # canonical order-c gen
+    g_inv = pow(pow(F.root_of_unity, 1 << (F.two_adicity - eta), p), p - 2, p)
     c_inv = pow(c, p - 2, p)
-    x_over_shift = x_int * pow(domain.shift, p - 2, p) % p
-    Winv = domain.inverse_generator_powers()                 # (L, N): G^-m
-    acc = None
-    for t in range(c):
-        # scalar weights: (1/c) * g^{-tk} folded with (x/shift)^t
-        xt = pow(x_over_shift, t, p) * c_inv % p
-        a_t = None
-        for k in range(c):
-            w = F.from_ints([pow(g, (p - 1 - (t * k) % (p - 1)) % (p - 1), p)
-                             * xt % p]).reshape(F.L, 1)
-            term = F.mul(v[:, k, :], w)
-            a_t = term if a_t is None else F.add(a_t, term)
-        # multiply by G^{-jt} over j: strided slice of cached inverse powers
-        if t == 0:
-            term = a_t
-        else:
-            term = F.mul(a_t, Winv[:, ::t][:, :nc] if t > 0 else None)
-        acc = term if acc is None else F.add(acc, term)
-    return acc
+    # static host tables (numpy — cache-safe): intra-coset inverse-NTT rows
+    # (1/c) g^{-tk} and per-t output twiddles G^{-jt}
+    rows = np.stack([F.from_ints_np(
+        [pow(g_inv, (t * k) % c, p) * c_inv % p for k in range(c)])
+        for t in range(c)], axis=1)                      # (L, c_t, c_k)
+    Winv = np.asarray(domain.inverse_generator_powers())  # (L, N)
+    tw = np.stack([Winv[:, (np.arange(nc) * t) % N] for t in range(c)],
+                  axis=1)                                # (L, c_t, nc)
+    shift_inv = F.from_ints_np([pow(domain.shift, p - 2, p)])
+
+    def fold(evals, x):
+        v = evals.reshape(F.L, c, nc)
+        x_over_shift = F.mul(x.reshape(F.L, 1),
+                             jnp.asarray(shift_inv).reshape(F.L, 1))
+        xpow = _powers_doubling(F, x_over_shift.reshape(F.L), c)  # (L, c)
+        acc = None
+        for t in range(c):
+            m = F.mul(v, jnp.asarray(rows[:, t, :])[:, :, None])  # (L,c,nc)
+            a_t = F.lazy_sum_reduce(jnp.sum(m, axis=1))           # (L,nc)
+            term = F.mul(F.mul(a_t, jnp.asarray(tw[:, t, :])),
+                         xpow[:, t:t + 1])
+            acc = term if acc is None else acc + term  # lazy limb accumulation
+        return F.lazy_sum_reduce(acc)
+
+    return jax.jit(fold)
 
 
-def interpolate_coset_at_point_ints(F: PrimeField, coset_values: List[int],
+def fold_codeword(F, evals, domain: MultiplicativeCoset, eta: int, x_int: int):
+    """One FRI reduction of a natural-order codeword (see module docstring).
+    Returns the folded (L, N/2^eta) codeword over q(domain), q(x)=x^{2^eta}:
+    restricted to coset {h_j g^k}, f = p_j(u) with intra-coset inverse-NTT
+    coefficients a_t[j], and the folded value is p_j(x/h_j)."""
+    key = (F.name, domain._key(), eta)
+    fn = _FOLD_FN_CACHE.get(key)
+    if fn is None:
+        fn = _FOLD_FN_CACHE[key] = _build_fold_fn(F, domain, eta)
+    x = F.from_ints([x_int]).reshape(F.L)
+    return fn(evals, x)
+
+
+def interpolate_coset_at_point_ints(F, coset_values: List[int],
                                     coset_shift: int, eta: int, x: int) -> int:
-    """Host-int mirror of one coset's fold (verifier side)."""
+    """Host-int mirror of one multiplicative coset's fold (verifier side)."""
     c = 1 << eta
     p = F.p
     g = pow(F.root_of_unity, 1 << (F.two_adicity - eta), p)
@@ -159,9 +197,86 @@ def interpolate_coset_at_point_ints(F: PrimeField, coset_values: List[int],
     return total
 
 
+# ---------------------------------------------------------------------------
+# additive fold (fri_aux.tcc:37-105 math, fully batched)
+# ---------------------------------------------------------------------------
+def localizer_vanishing(domain: AffineSubspace, eta: int) -> LinearizedVanishing:
+    """Z of the UNSHIFTED localizer subspace span(basis[:eta]) — the FRI
+    localizer polynomial (localizer_polynomial.tcc additive branch)."""
+    V = AffineSubspace(domain.field, eta, shift=0, basis=domain.basis[:eta])
+    return LinearizedVanishing(V)
+
+
+def _coset_vanishing_offsets(domain: AffineSubspace, eta: int,
+                             Z: LinearizedVanishing) -> List[int]:
+    """Z_V evaluated at each coset's shift (constant on the coset by
+    F2-linearity): nc values in coset-index order, via subset sums over the
+    remaining basis vectors."""
+    F = domain.field
+    z_rest = [Z._eval_linear(Z.linear_coeffs, b) for b in domain.basis[eta:]]
+    z_shift = Z.eval_at_point_int(domain.shift)
+    return subset_sums_ints(F, z_rest, z_shift)
+
+
+def fold_codeword_additive(F, evals, domain: AffineSubspace, eta: int,
+                           x_int: int):
+    """One additive FRI reduction: per contiguous coset C_j, Lagrange
+    interpolation at x with coefficients eps^{-1} * Z_{C_j}(x) / (x - e);
+    one batched inversion over the whole codeword; masked select handles
+    x in the domain exactly (no data-dependent branch)."""
+    c = 1 << eta
+    N = domain.order
+    nc = N // c
+    Z = localizer_vanishing(domain, eta)
+    eps_inv = F.inv_int(Z.epsilon)
+    vp_x = Z.eval_at_point_int(x_int)
+    offsets = _coset_vanishing_offsets(domain, eta, Z)
+    # scale_j = eps^{-1} * (Z_V(x) ^ Z_V(shift_j))  — host ints, tiny
+    scales = [F.mul_ints(eps_inv, vp_x ^ off) for off in offsets]
+    scale_arr = jnp.asarray(F.from_ints_np(scales))            # (W, nc)
+    elems = jnp.asarray(domain.elements())                     # (W, N)
+    x_arr = F.from_ints([x_int]).reshape(F.L, 1)
+    D = elems ^ jnp.broadcast_to(x_arr, elems.shape).astype(jnp.uint32)  # x - e
+    member = F.is_zero(D)                                      # (N,)
+    terms = F.mul(evals, F.inv(D)).reshape(F.L, nc, c)
+    lagrange = F.mul(_xor_reduce(terms), scale_arr)            # (W, nc)
+    # exact-membership correction: if x == e in coset j, value is f(e)
+    sel = _xor_reduce(jnp.where(member[None, :], evals,
+                                jnp.zeros_like(evals)).reshape(F.L, nc, c))
+    coset_has = jnp.any(member.reshape(nc, c), axis=-1)
+    return jnp.where(coset_has[None, :], sel, lagrange)
+
+
+def _xor_reduce(t):
+    """XOR-reduce the trailing axis (char-2 sum) with a log-depth tree."""
+    n = t.shape[-1]
+    while n > 1:
+        t = t[..., : n // 2] ^ t[..., n // 2: 2 * (n // 2)]
+        n //= 2
+    return t[..., 0]
+
+
+def interpolate_coset_additive_ints(F, coset_values: List[int],
+                                    coset_shift: int, Z: LinearizedVanishing,
+                                    basis: List[int], x: int) -> int:
+    """Host-int mirror of one additive coset's fold (verifier side).
+    basis = the localizer subspace's basis (first eta of the round domain)."""
+    c = len(coset_values)
+    elems = subset_sums_ints(F, basis, coset_shift)
+    for k, e in enumerate(elems):
+        if e == x:
+            return coset_values[k]
+    z_x = Z.eval_at_point_int(x) ^ Z.eval_at_point_int(coset_shift)
+    scale = F.mul_ints(F.inv_int(Z.epsilon), z_x)
+    total = 0
+    for k in range(c):
+        total ^= F.mul_ints(coset_values[k], F.inv_int(x ^ elems[k]))
+    return F.mul_ints(scale, total)
+
+
 class FRIProtocol:
     """Multi-FRI: several codewords share challenges and query positions
-    (fri_ldt.hpp:38-43)."""
+    (fri_ldt.hpp:38-43).  Domain-generic."""
 
     def __init__(self, iop: IOPProtocol, params: FRIParameters,
                  codeword_handle, poly_handles: List[OracleHandle]):
@@ -176,12 +291,33 @@ class FRIProtocol:
     def _compute_domains(self):
         F = self.F
         dom0 = self.iop.get_domain(self.codeword_handle)
-        self.domains: List[MultiplicativeCoset] = [dom0]
-        shift, dim = dom0.shift, dom0.dim
-        for eta in self.params.localization_parameters:
-            shift = pow(shift, 1 << eta, F.p)
-            dim -= eta
-            self.domains.append(MultiplicativeCoset(F, dim, shift))
+        self.additive = is_additive(dom0)
+        self.domains = [dom0]
+        self.localizers: List[Optional[LinearizedVanishing]] = []
+        if self.additive:
+            dom = dom0
+            for eta in self.params.localization_parameters:
+                Z = localizer_vanishing(dom, eta)
+                self.localizers.append(Z)
+                next_basis = [Z._eval_linear(Z.linear_coeffs, b)
+                              for b in dom.basis[eta:]]
+                next_shift = Z.eval_at_point_int(dom.shift)
+                dom = AffineSubspace(F, dom.dim - eta, shift=next_shift,
+                                     basis=next_basis)
+                self.domains.append(dom)
+        else:
+            shift, dim = dom0.shift, dom0.dim
+            for eta in self.params.localization_parameters:
+                self.localizers.append(None)
+                shift = pow(shift, 1 << eta, F.p)
+                dim -= eta
+                self.domains.append(MultiplicativeCoset(F, dim, shift))
+
+    def _localizer_map_int(self, i: int, s: int) -> int:
+        """q^(i)(s): the i-th round's localizer polynomial at a host int."""
+        if self.additive:
+            return self.localizers[i].eval_at_point_int(s)
+        return self.F.pow_int(s, 1 << self.params.localization_parameters[i])
 
     # -- registration ------------------------------------------------------
     def register_interactions(self):
@@ -223,12 +359,17 @@ class FRIProtocol:
             coset_handles = []
             s_handle = s0
             for i in range(self.num_reductions):
-                nc = self.domains[i].order >> etas[i]
+                dom = self.domains[i]
+                c = 1 << etas[i]
                 handles = [self.iop.register_deterministic_query_position(
-                    [s_handle], (lambda s, k=k, nc=nc: (s % nc) + k * nc))
-                    for k in range(1 << etas[i])]
+                    [s_handle],
+                    (lambda s, k=k, dom=dom, c=c: dom.position_by_coset_indices(
+                        dom.coset_index(s, c), k, c)))
+                    for k in range(c)]
                 coset_handles.append(handles)
-                s_handle = handles[0]  # next round's s = coset index
+                # next round's position = this round's coset index
+                s_handle = self.iop.register_deterministic_query_position(
+                    [s_handle], (lambda s, dom=dom, c=c: dom.coset_index(s, c)))
             for j in range(self.params.num_interactive_repetitions):
                 for ldt in range(len(self.poly_handles)):
                     qset = {
@@ -249,6 +390,7 @@ class FRIProtocol:
         etas = self.params.localization_parameters
         base_evals = [self.iop.get_oracle_evaluations(h) for h in self.poly_handles]
         per_interaction = [list(base_evals) for _ in range(ni)]
+        fold = fold_codeword_additive if self.additive else fold_codeword
         for i in range(self.num_reductions):
             if i > 0:
                 for j in range(ni):
@@ -259,12 +401,12 @@ class FRIProtocol:
                 x_i = self.iop.obtain_verifier_random_message(
                     self.challenge_handles[i][j])[0]
                 per_interaction[j] = [
-                    fold_codeword(F, ev, self.domains[i], etas[i], x_i)
+                    fold(F, ev, self.domains[i], etas[i], x_i)
                     for ev in per_interaction[j]]
         final_domain = self.domains[self.num_reductions]
         for j in range(ni):
             for ldt, ev in enumerate(per_interaction[j]):
-                coeffs = ifft(ev, final_domain)
+                coeffs = ifft_known_any(ev, final_domain, final_domain.order)
                 ints = [int(v) for v in
                         F.to_ints(coeffs[:, :max(1, self.final_degree_bound)])]
                 self.iop.submit_prover_message(self.final_poly_handles[j][ldt], ints)
@@ -280,7 +422,6 @@ class FRIProtocol:
 
     def _predicate_for_query_set(self, qset) -> bool:
         F = self.F
-        p = F.p
         etas = self.params.localization_parameters
         s_idx = self.iop.obtain_query_position(qset["s0"])
         s = self.domains[0].element_by_index_int(s_idx)
@@ -292,19 +433,30 @@ class FRIProtocol:
             dom = self.domains[i]
             si_j = dom.coset_index(s_idx, c)
             si_k = dom.intra_coset_index(s_idx, c)
-            s_idx = si_j
             coset_vals = [self.iop.obtain_query_response(qh)
                           for qh in qset["coset_queries"][i]]
             if i > 0 and last_interp != coset_vals[si_k]:
                 return False
             coset_shift = dom.element_by_index_int(
                 dom.position_by_coset_indices(si_j, 0, c))
-            last_interp = interpolate_coset_at_point_ints(
-                F, coset_vals, coset_shift, etas[i], x_i)
-            s = pow(s, c, p)
+            if self.additive:
+                last_interp = interpolate_coset_additive_ints(
+                    F, coset_vals, coset_shift, self.localizers[i],
+                    dom.basis[:etas[i]], x_i)
+            else:
+                last_interp = interpolate_coset_at_point_ints(
+                    F, coset_vals, coset_shift, etas[i], x_i)
+            s = self._localizer_map_int(i, s)
+            s_idx = si_j
         final_coeffs = self.iop.receive_prover_message(
             self.final_poly_handles[qset["interaction"]][qset["ldt"]])
         val = 0
         for cf in reversed(final_coeffs):
-            val = (val * s + cf) % p
+            val = F.add_ints(F.mul_ints(val, s), cf)
         return val == last_interp
+    # NOTE on chain consistency (fri_ldt.tcc:574-642): the verifier checks
+    # that round i+1's revealed value at the coset-index position equals the
+    # interpolation computed from round i's coset — this requires
+    # element_by_index_int(coset_index) of domain i+1 to equal
+    # q^(i)(coset representative), which the domain-chain construction
+    # guarantees for both families.

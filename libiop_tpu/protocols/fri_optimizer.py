@@ -125,3 +125,108 @@ def optimize_localization_parameters(
             best = vec
     assert best is not None, "no feasible localization vector"
     return best, best_size
+
+
+# ---------------------------------------------------------------------------
+# circuit-size optimizer (circuit_size_optimizer.{hpp,tcc} role): pick the
+# localization vector minimizing the size of a RECURSIVE VERIFIER circuit
+# (R1CS constraints), not the transcript bytes.
+# ---------------------------------------------------------------------------
+class HashCircuitDescription:
+    """Constraint-cost model of the hash inside a circuit
+    (hashing.hpp:72-82 hash_circuit_description role).  Defaults approximate
+    an algebraic (Poseidon-style) hash: cost scales with the number of
+    sponge-rate-sized absorptions."""
+
+    def __init__(self, arity_2_cost: int = 300, per_element_cost: int = 150,
+                 chain_cost: int = 300):
+        self.arity_2_cost = arity_2_cost
+        self.per_element_cost = per_element_cost
+        self.chain_cost = chain_cost
+
+    def arity_m_hash_complexity(self, m: int) -> int:
+        return self.arity_2_cost + max(0, m - 2) * self.per_element_cost
+
+    def hash_chain_complexity(self, sponge_state_size: int,
+                              input_size: int) -> int:
+        return self.chain_cost * max(1, input_size)
+
+
+def predict_circuit_size(oracle_locality_vector: List[int],
+                         fri_localization_vector: List[int],
+                         codeword_dim: int, num_queries: int,
+                         max_tested_degree: int,
+                         encoded_circuit_cost_per_query: int,
+                         hash_info: HashCircuitDescription) -> int:
+    """Predicted verifier-circuit constraint count (circuit_size_optimizer
+    .tcc:1-170 model): per-round coset interpolations + final Lagrange
+    interpolation + Merkle leaf/path hashes with an upper-cap shared across
+    queries + per-round hashchain absorptions."""
+    etas = list(fri_localization_vector)
+    # IOP side: encoded protocol queries + per-round interpolation + final
+    encoded = encoded_circuit_cost_per_query * (1 << etas[0]) * num_queries
+    round_costs = 0
+    for eta in etas:
+        round_costs += (1 << eta) * 2 + eta * 2 + 4
+    round_costs = round_costs * num_queries + 4 * len(etas)
+    final_deg = max(1, max_tested_degree >> sum(etas))
+    final_interp = (final_deg + 1) * num_queries
+    iop_cost = encoded + round_costs + final_interp
+    # BCS side: leaf hashes
+    leaf_cost = 0
+    for locality in oracle_locality_vector:
+        leaf_cost += hash_info.arity_m_hash_complexity(
+            locality * (1 << etas[0]))
+    for eta in etas[1:]:
+        leaf_cost += hash_info.arity_m_hash_complexity(1 << eta)
+    leaf_cost *= num_queries
+    # BCS side: 2-to-1 path hashes with a shared upper cap of depth
+    # ~log2(num_queries): the top of each tree is hashed once, lower layers
+    # once per query (no collision modeling)
+    cap = max(0, num_queries.bit_length() - 2)
+    two_to_one = 0
+    cap_cost = 0
+    cur_dim = codeword_dim - etas[0]
+    two_to_one += max(0, cur_dim - cap) * num_queries * len(oracle_locality_vector)
+    cap_cost += len(oracle_locality_vector) * \
+        hash_info.arity_m_hash_complexity(1 << min(cap, cur_dim))
+    for eta in etas[1:]:
+        cur_dim -= eta
+        depth = max(0, cur_dim)
+        cur_cap = min(cap, depth)
+        two_to_one += max(0, depth - cur_cap) * num_queries
+        cap_cost += hash_info.arity_m_hash_complexity(1 << cur_cap)
+    path_cost = two_to_one * (hash_info.arity_m_hash_complexity(2) + 2) + cap_cost
+    chain_cost = hash_info.hash_chain_complexity(2, 1) * len(etas)
+    return iop_cost + leaf_cost + path_cost + chain_cost
+
+
+def optimize_localization_for_circuit_size(
+        oracle_locality_vector: List[int], codeword_dim: int,
+        num_queries: int, max_tested_degree: int,
+        encoded_circuit_cost_per_query: int = 100,
+        hash_info: HashCircuitDescription | None = None,
+        max_eta: int = 4) -> Tuple[List[int], int]:
+    """Brute-force all localization vectors (first entry fixed to 1,
+    circuit_size_optimizer.tcc:190-205) and return the arg-min with its
+    predicted constraint count."""
+    hash_info = hash_info or HashCircuitDescription()
+    budget = max(1, (max_tested_degree.bit_length() - 1) - 1 - 2)
+
+    def compositions(n):
+        if n == 0:
+            yield []
+            return
+        for first in range(1, min(max_eta, n) + 1):
+            for rest in compositions(n - first):
+                yield [first] + rest
+
+    best, best_size = None, None
+    for tail in compositions(budget - 1):
+        vec = [1] + tail
+        size = predict_circuit_size(
+            oracle_locality_vector, vec, codeword_dim, num_queries,
+            max_tested_degree, encoded_circuit_cost_per_query, hash_info)
+        if best_size is None or size < best_size:
+            best, best_size = vec, size
+    return best, best_size

@@ -29,9 +29,10 @@ import jax.numpy as jnp
 
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset
-from ..algebra.fft import fft, ifft
-from ..algebra.poly import (lagrange_poly_evals_over,
-                            lagrange_poly_eval_at_point_int)
+from ..algebra.generic import (fft_any, ifft_any,
+                               lagrange_poly_eval_at_point_int_any,
+                               lagrange_poly_evals_over_any,
+                               vanishing_eval_int)
 from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
 from ..relations.sparse import SparseMatrix
 from .common import RationalLinearCombination, SingleBoundaryConstraint
@@ -41,7 +42,7 @@ from .sumcheck import BatchSumcheck
 
 
 class HolographicLincheckParams:
-    def __init__(self, F: PrimeField, interactive_security_parameter: int,
+    def __init__(self, F, interactive_security_parameter: int,
                  constraint_domain_dim: int, make_zk: bool):
         self.F = F
         self.constraint_domain_dim = constraint_domain_dim
@@ -61,7 +62,7 @@ class HolographicLincheckVirtualOracle(VirtualOracle):
     """q(x) = p_alpha(x) * f_combined_Mz(x) - t(x) * f_z(x).
     Constituents: [fz, fAz, fBz, fCz, t]."""
 
-    def __init__(self, F: PrimeField, codeword_domain, summation_domain,
+    def __init__(self, F, codeword_domain, summation_domain,
                  num_matrices: int):
         self.F = F
         self.L = codeword_domain
@@ -70,15 +71,15 @@ class HolographicLincheckVirtualOracle(VirtualOracle):
         self.alpha: Optional[int] = None
 
     def set_challenge(self, alpha: int, r_Mz: List[int]):
-        self.alpha = alpha % self.F.p
-        self.r_Mz = [int(r) % self.F.p for r in r_Mz]
+        self.alpha = self.F.sample_int(alpha)
+        self.r_Mz = [self.F.sample_int(int(r)) for r in r_Mz]
 
     def evaluated_contents(self, evals):
         assert self.alpha is not None
         F = self.F
         fz = evals[0]
         t = evals[self.num_matrices + 1]
-        p_alpha_cw = lagrange_poly_evals_over(self.H, self.alpha, self.L)
+        p_alpha_cw = lagrange_poly_evals_over_any(self.H, self.alpha, self.L)
         combined = None
         for m in range(self.num_matrices):
             c = F.from_ints([self.r_Mz[m]]).reshape(F.L, 1)
@@ -88,43 +89,46 @@ class HolographicLincheckVirtualOracle(VirtualOracle):
 
     def evaluation_at_point(self, position, x, vals):
         assert self.alpha is not None
-        p = self.F.p
+        F = self.F
         fz, t = vals[0], vals[self.num_matrices + 1]
-        pa = lagrange_poly_eval_at_point_int(self.H, self.alpha, x)
-        combined = sum(r * v for r, v in zip(self.r_Mz, vals[1:])) % p
-        return (combined * pa - fz * t) % p
+        pa = lagrange_poly_eval_at_point_int_any(self.H, self.alpha, x)
+        combined = 0
+        for r, v in zip(self.r_Mz, vals[1:]):
+            combined = F.add_ints(combined, F.mul_ints(r, v))
+        return F.sub_ints(F.mul_ints(combined, pa), F.mul_ints(fz, t))
 
 
 class SingleMatrixDenominator(VirtualOracle):
     """(row(x) - row_qp)(col(x) - col_qp) via row, col, row*col oracles
     (holographic_lincheck_aux.tcc:99-165)."""
 
-    def __init__(self, F: PrimeField):
+    def __init__(self, F):
         self.F = F
         self.row_qp = None
         self.col_qp = None
 
     def set_challenge(self, row_query_point: int, col_query_point: int):
-        self.row_qp = row_query_point % self.F.p
-        self.col_qp = col_query_point % self.F.p
+        self.row_qp = self.F.sample_int(row_query_point)
+        self.col_qp = self.F.sample_int(col_query_point)
 
     def evaluated_contents(self, evals):
         assert self.row_qp is not None
         F = self.F
         row, col, rowcol = evals
-        a = F.from_ints([(F.p - self.col_qp) % F.p]).reshape(F.L, 1)
-        b = F.from_ints([(F.p - self.row_qp) % F.p]).reshape(F.L, 1)
-        c = F.from_ints([self.row_qp * self.col_qp % F.p]).reshape(F.L, 1)
+        a = F.from_ints([F.neg_int(self.col_qp)]).reshape(F.L, 1)
+        b = F.from_ints([F.neg_int(self.row_qp)]).reshape(F.L, 1)
+        c = F.from_ints([F.mul_ints(self.row_qp, self.col_qp)]).reshape(F.L, 1)
         out = F.add(F.mul(row, a), F.mul(col, b))
         out = F.add(out, rowcol)
         return F.add(out, jnp.broadcast_to(c, out.shape).astype(jnp.uint32))
 
     def evaluation_at_point(self, position, x, vals):
         assert self.row_qp is not None
-        p = self.F.p
+        F = self.F
         row, col, rowcol = vals
-        return (rowcol - self.col_qp * row - self.row_qp * col
-                + self.row_qp * self.col_qp) % p
+        out = F.sub_ints(rowcol, F.mul_ints(self.col_qp, row))
+        out = F.sub_ints(out, F.mul_ints(self.row_qp, col))
+        return F.add_ints(out, F.mul_ints(self.row_qp, self.col_qp))
 
 
 def compute_p_alpha_M_evals(F, input_variable_dim: int,
@@ -287,22 +291,22 @@ class HolographicMultiLincheck:
         F = self.F
         for rep in range(self.params.num_repetitions):
             alpha, r_Mz = self._challenges(rep)
-            p_alpha_over_H = lagrange_poly_evals_over(self.H, alpha, self.H)
+            p_alpha_over_H = lagrange_poly_evals_over_any(self.H, alpha, self.H)
             p_alpha_M_over_H = compute_p_alpha_M_evals(
                 F, self.input_variable_dim, self.H, p_alpha_over_H, r_Mz,
                 self.matrices)
-            coeffs = ifft(p_alpha_M_over_H, self.H)
-            self.iop.submit_oracle(self.t_handles[rep], fft(coeffs, self.L))
+            coeffs = ifft_any(p_alpha_M_over_H, self.H)
+            self.iop.submit_oracle(self.t_handles[rep], fft_any(coeffs, self.L))
             self.lincheck_oracles[rep].set_challenge(alpha, r_Mz)
 
     def _set_beta_state(self, rep):
-        p = self.F.p
+        F = self.F
         alpha, r_Mz = self._challenges(rep)
         beta = self.iop.obtain_verifier_random_message(self.beta_handles[rep])[0]
-        z_a = (pow(alpha, self.H.order, p) - pow(self.H.shift, self.H.order, p)) % p
-        z_b = (pow(beta, self.H.order, p) - pow(self.H.shift, self.H.order, p)) % p
-        shift = z_a * z_b % p
-        coeffs = [shift * r % p for r in r_Mz]
+        z_a = vanishing_eval_int(self.H, alpha)
+        z_b = vanishing_eval_int(self.H, beta)
+        shift = F.mul_ints(z_a, z_b)
+        coeffs = [F.mul_ints(shift, F.sample_int(int(r))) for r in r_Mz]
         self.rational_lc[rep].set_coefficients(coeffs)
         for i in range(self.num_matrices):
             self.matrix_denominators[rep][i].set_challenge(beta, alpha)

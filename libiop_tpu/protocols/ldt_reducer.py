@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset, device_powers
-from ..algebra.fft import fft
+from ..algebra.generic import fft_any, is_additive
 from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
 from .fri import log2_field_size
 
@@ -33,7 +33,7 @@ class LDTReducerSoundnessType:
 
 
 class LDTReducerParams:
-    def __init__(self, F: PrimeField, interactive_soundness_bits: int,
+    def __init__(self, F, interactive_soundness_bits: int,
                  soundness_type: str, codeword_domain_dim: int,
                  max_tested_degree_bound: int,
                  max_constraint_degree_bound: int, make_zk: bool):
@@ -62,8 +62,7 @@ class LDTReducerParams:
 class CombinedLDTOracle(VirtualOracle):
     """sum_i (c_i + c'_i x^{Delta_i}) f_i over the codeword domain."""
 
-    def __init__(self, F: PrimeField, codeword_domain: MultiplicativeCoset,
-                 input_degrees: List[int]):
+    def __init__(self, F, codeword_domain, input_degrees: List[int]):
         self.F = F
         self.L = codeword_domain
         self.input_degrees = list(input_degrees)
@@ -76,18 +75,32 @@ class CombinedLDTOracle(VirtualOracle):
 
     def set_coefficients(self, random_coeffs: List[int]):
         assert len(random_coeffs) >= self.num_random_coefficients
-        self.coefficients = [1] + [int(c) % self.F.p for c in random_coeffs]
+        self.coefficients = [1] + [self.F.sample_int(int(c))
+                                   for c in random_coeffs]
 
     def _bump_powers(self, delta: int):
-        """x^delta over L = shift^delta * g^{delta*k}: strided slice of cached
-        generator powers times a scalar — no fresh exponentiations."""
+        """x^delta over L.  Multiplicative: shift^delta * g^{delta*k} — a
+        strided slice of cached generator powers times one scalar.  Additive:
+        batched square-and-multiply over the element array (O(log delta)
+        squarings+muls at full width), cached per delta."""
         F = self.F
-        N = self.L.order
-        W = self.L.generator_powers()
-        idx = (np.arange(N, dtype=np.int64) * (delta % N)) % N
-        strided = jnp.take(W, jnp.asarray(idx), axis=1)
-        s = F.from_ints([pow(self.L.shift, delta, F.p)]).reshape(F.L, 1)
-        return F.mul(strided, s)
+        cache = getattr(self.L, "_bump_cache", None)
+        if cache is None:
+            cache = self.L._bump_cache = {}
+        out = cache.get(delta)
+        if out is not None:
+            return out
+        if is_additive(self.L):
+            out = F.pow_static(jnp.asarray(self.L.elements()), delta)
+        else:
+            N = self.L.order
+            W = self.L.generator_powers()
+            idx = (np.arange(N, dtype=np.int64) * (delta % N)) % N
+            strided = jnp.take(W, jnp.asarray(idx), axis=1)
+            s = F.from_ints([pow(self.L.shift, delta, F.p)]).reshape(F.L, 1)
+            out = F.mul(strided, s)
+        cache[delta] = out
+        return out
 
     def evaluated_contents(self, evals):
         assert self.coefficients is not None, "challenge not set"
@@ -112,7 +125,7 @@ class CombinedLDTOracle(VirtualOracle):
 
     def evaluation_at_point(self, position, x, vals):
         assert self.coefficients is not None, "challenge not set"
-        p = self.F.p
+        F = self.F
         total = 0
         sub_counter = 0
         for i, v in enumerate(vals):
@@ -121,8 +134,8 @@ class CombinedLDTOracle(VirtualOracle):
                 delta = self.max_degree - self.input_degrees[i]
                 cp = self.coefficients[self.n + sub_counter]
                 sub_counter += 1
-                c = (c + cp * pow(x, delta, p)) % p
-            total = (total + c * v) % p
+                c = F.add_ints(c, F.mul_ints(cp, F.pow_int(x, delta)))
+            total = F.add_ints(total, F.mul_ints(c, v))
         return total
 
 
@@ -192,7 +205,7 @@ class LDTInstanceReducer:
             return
         for h in self.blinding_handles:
             coeffs = self.F.random((self.params.max_tested_degree_bound,), self.rng)
-            self.iop.submit_oracle(h, fft(coeffs, self.L))
+            self.iop.submit_oracle(h, fft_any(coeffs, self.L))
 
     def _set_challenges(self):
         for i, oracle in enumerate(self.combined_oracles):

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset
-from ..algebra.fft import fft, ifft
+from ..algebra.generic import (element_outside_of_subset, fft_any,
+                               horner_eval_ints, ifft_any, make_domain)
 from ..iop.runtime import IOPProtocol, OracleHandle
 from ..relations.r1cs import R1CS
 from ..relations.sparse import SparseMatrix
@@ -61,8 +62,21 @@ class EncodedLigeroParams:
 
 def _encode_rows(F, rows_mat, systematic_domain, codeword_domain):
     """(L, R, |H|) systematic values -> (L, R, |L|) codewords (batched)."""
-    coeffs = ifft(rows_mat, systematic_domain)
-    return fft(coeffs, codeword_domain)
+    coeffs = ifft_any(rows_mat, systematic_domain)
+    return fft_any(coeffs, codeword_domain)
+
+
+def _row_sum(F, term):
+    """Sum a (L, R, N) tensor over the row axis, field-generically: XOR fold
+    for char 2, lazy limb accumulation + one wide Montgomery reduction
+    otherwise."""
+    if F.kind == "additive":
+        acc = term[:, 0, :]
+        for i in range(1, term.shape[1]):
+            acc = acc ^ term[:, i, :]
+        return acc
+    return F.lazy_sum_reduce(jnp.moveaxis(
+        jnp.sum(jnp.moveaxis(term, 0, -1), axis=0), -1, 0))
 
 
 class InterleavedLincheckOT:
@@ -160,23 +174,17 @@ class InterleavedLincheckOT:
             s_cw = _encode_rows(F, s_blocks, self.H, self.L)
             pos_term = F.mul(r_cw, target_evals)
             neg_term = F.mul(s_cw, input_evals)
-            # sum over rows, then difference
-            resp = F.sub(
-                F.lazy_sum_reduce(jnp.moveaxis(
-                    jnp.sum(jnp.moveaxis(pos_term, 0, -1), axis=0), -1, 0)),
-                F.lazy_sum_reduce(jnp.moveaxis(
-                    jnp.sum(jnp.moveaxis(neg_term, 0, -1), axis=0), -1, 0)))
+            resp = F.sub(_row_sum(F, pos_term), _row_sum(F, neg_term))
             if self.make_zk:
                 resp = F.add(resp, self.iop.get_oracle_evaluations(
                     self.blinding_handles[h_idx]))
-            coeffs = ifft(resp, self.L)
+            coeffs = ifft_any(resp, self.L)
             ints = [int(v) for v in F.to_ints(coeffs[:, :self.response_size])]
             self.iop.submit_prover_message(self.response_handles[h_idx], ints)
 
     def verifier_predicate(self, supplementary_input: List[int],
                            rlcs: List[List[int]]) -> bool:
         F = self.F
-        p = F.p
         h_ord = self.H.order
         supp_in = _encode_rows(
             F, self._blocks(supplementary_input, self.num_oracles_input),
@@ -185,11 +193,14 @@ class InterleavedLincheckOT:
             response = self.iop.receive_prover_message(self.response_handles[h_idx])
             # equality: sum of response over the systematic domain == 0
             resp_dev = F.from_ints(response)
-            ext_evals = fft(resp_dev, self.extended)
+            ext_evals = fft_any(resp_dev, self.extended)
             idx = [self.extended.reindex_by_subgroup(self.H.dim, d)
                    for d in range(h_ord)]
             vals = F.to_ints(jnp.take(ext_evals, jnp.asarray(idx), axis=1))
-            if sum(int(v) for v in vals) % p != 0:
+            total = 0
+            for v in vals:
+                total = F.add_ints(total, int(v))
+            if total != 0:
                 return False
             # consistency at each queried column
             r = rlcs[h_idx]
@@ -205,18 +216,15 @@ class InterleavedLincheckOT:
                 supp_at_j = [int(v) for v in F.to_ints(supp_in[:, :, j])]
                 for i in range(self.num_oracles_target):
                     tv = self.iop.obtain_query_response(self.target_queries[k][i])
-                    lhs = (lhs + r_at_j[i] * tv) % p
+                    lhs = F.add_ints(lhs, F.mul_ints(r_at_j[i], tv))
                 for i in range(self.num_oracles_input):
-                    iv = (self.iop.obtain_query_response(self.input_queries[k][i])
-                          + supp_at_j[i]) % p
-                    lhs = (lhs - s_at_j[i] * iv) % p
+                    iv = F.add_ints(self.iop.obtain_query_response(
+                        self.input_queries[k][i]), supp_at_j[i])
+                    lhs = F.sub_ints(lhs, F.mul_ints(s_at_j[i], iv))
                 if self.make_zk:
-                    lhs = (lhs + self.iop.obtain_query_response(
-                        self.blinding_queries[k][h_idx])) % p
-                rhs = 0
-                for c in reversed(response):
-                    rhs = (rhs * x + c) % p
-                if lhs != rhs:
+                    lhs = F.add_ints(lhs, self.iop.obtain_query_response(
+                        self.blinding_queries[k][h_idx]))
+                if lhs != horner_eval_ints(F, response, x):
                     return False
         return True
 
@@ -279,17 +287,16 @@ class InterleavedRowcheck:
             if self.make_zk:
                 resp = F.add(resp, self.iop.get_oracle_evaluations(
                     self.blinding_handles[h_idx]))
-            coeffs = ifft(resp, self.L)
+            coeffs = ifft_any(resp, self.L)
             ints = [int(v) for v in F.to_ints(coeffs[:, :self.response_size])]
             self.iop.submit_prover_message(self.response_handles[h_idx], ints)
 
     def verifier_predicate(self) -> bool:
         F = self.F
-        p = F.p
         for h_idx in range(self.num_interactions):
             response = self.iop.receive_prover_message(self.response_handles[h_idx])
             resp_dev = F.from_ints(response)
-            ext_evals = fft(resp_dev, self.extended)
+            ext_evals = fft_any(resp_dev, self.extended)
             idx = [self.extended.reindex_by_subgroup(self.H.dim, d)
                    for d in range(self.H.order)]
             vals = F.to_ints(jnp.take(ext_evals, jnp.asarray(idx), axis=1))
@@ -304,14 +311,13 @@ class InterleavedRowcheck:
                     xv = self.iop.obtain_query_response(self.x_queries[k][i])
                     yv = self.iop.obtain_query_response(self.y_queries[k][i])
                     zv = self.iop.obtain_query_response(self.z_queries[k][i])
-                    lhs = (lhs + r[i] * (xv * yv - zv)) % p
+                    lhs = F.add_ints(lhs, F.mul_ints(
+                        F.sample_int(int(r[i])),
+                        F.sub_ints(F.mul_ints(xv, yv), zv)))
                 if self.make_zk:
-                    lhs = (lhs + self.iop.obtain_query_response(
-                        self.blinding_queries[k][h_idx])) % p
-                rhs = 0
-                for c in reversed(response):
-                    rhs = (rhs * x + c) % p
-                if lhs != rhs:
+                    lhs = F.add_ints(lhs, self.iop.obtain_query_response(
+                        self.blinding_queries[k][h_idx]))
+                if lhs != horner_eval_ints(F, response, x):
                     return False
         return True
 
@@ -394,17 +400,18 @@ class InterleavedR1CS:
     # -- proving -----------------------------------------------------------
     def _supplementary_input(self, primary: List[int]) -> List[int]:
         width = self.params.matrix_width
-        supp = [1] + [int(v) % self.F.p for v in primary]
+        supp = [1] + [self.F.sample_int(int(v)) for v in primary]
         return supp + [0] * (width - len(supp))
 
     def submit_witness_oracles(self, primary: List[int], auxiliary: List[int]):
         F = self.F
         pr = self.params
         h_ord = self.H.order
-        z = [1] + [int(v) % F.p for v in primary] + [int(v) % F.p for v in auxiliary]
+        z = [1] + [F.sample_int(int(v)) for v in primary] \
+            + [F.sample_int(int(v)) for v in auxiliary]
         z += [0] * (pr.matrix_width - len(z))
         # w oracles carry the auxiliary-only witness (public prefix zeroed)
-        aux_only = [0] * (1 + len(primary)) + [int(v) % F.p for v in auxiliary]
+        aux_only = [0] * (1 + len(primary)) + [F.sample_int(int(v)) for v in auxiliary]
         aux_only += [0] * (pr.matrix_width - len(aux_only))
         w_mat = F.from_ints(np.array(aux_only, dtype=object).reshape(
             pr.num_oracles_input, h_ord))
@@ -430,7 +437,10 @@ class InterleavedR1CS:
                 # random row summing to zero over the systematic domain
                 # (uniform full-field draws — low-entropy masks would leak)
                 vals = F.random_ints(h_ord - 1, self.rng)
-                vals.append((-sum(vals)) % F.p)
+                acc = 0
+                for v in vals:
+                    acc = F.add_ints(acc, v)
+                vals.append(F.neg_int(acc))
                 row = F.from_ints(np.array(vals, dtype=object).reshape(1, h_ord))
                 cw = _encode_rows(F, row, self.H, self.L)
                 self.iop.submit_oracle(h, cw[:, 0, :])
@@ -445,8 +455,8 @@ class InterleavedR1CS:
                 idx = ext.reindex_by_subgroup(self.H.dim, i)
                 vals[idx] = draws[off]
             row = F.from_ints(np.array(vals, dtype=object).reshape(1, ext.order))
-            coeffs = ifft(row, ext)
-            cw = fft(coeffs, self.L)
+            coeffs = ifft_any(row, ext)
+            cw = fft_any(coeffs, self.L)
             self.iop.submit_oracle(h, cw[:, 0, :])
 
     def calculate_and_submit_proof(self, primary: List[int]):
@@ -468,7 +478,7 @@ class InterleavedR1CS:
 class LigeroIOPParams:
     """ligero_iop.tcc:20-215 parameterization."""
 
-    def __init__(self, F: PrimeField, security_parameter: int,
+    def __init__(self, F, security_parameter: int,
                  RS_extra_dimensions: int, height_width_ratio: float,
                  make_zk: bool, num_constraints: int, num_variables: int,
                  soundness_type: str = LDTReducerSoundnessType.optimistic_heuristic):
@@ -559,10 +569,11 @@ class LigeroIOP:
         self.F = iop.F
         self.params = params
         F = self.F
-        systematic = MultiplicativeCoset(F, params.systematic_domain_dim)
-        extended = MultiplicativeCoset(F, params.systematic_domain_dim + 1)
-        codeword = MultiplicativeCoset(F, params.codeword_domain_dim,
-                                       shift=F.multiplicative_generator)
+        systematic = make_domain(F, params.systematic_domain_dim)
+        extended = make_domain(F, params.systematic_domain_dim + 1)
+        codeword = make_domain(
+            F, params.codeword_domain_dim,
+            shift=element_outside_of_subset(F, params.codeword_domain_dim))
         sh = iop.register_domain(systematic)
         eh = iop.register_domain(extended)
         self.codeword_h = iop.register_domain(codeword)

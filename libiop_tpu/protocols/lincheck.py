@@ -28,8 +28,7 @@ import jax.numpy as jnp
 
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset, device_powers
-from ..algebra.fft import fft, ifft
-from ..algebra.poly import horner_eval
+from ..algebra.generic import fft_any, horner_eval_ints, ifft_any
 from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
 from ..relations.sparse import SparseMatrix
 from .fri import log2_field_size
@@ -37,7 +36,7 @@ from .sumcheck import BatchSumcheck
 
 
 class LincheckParams:
-    def __init__(self, F: PrimeField, interactive_security_parameter: int,
+    def __init__(self, F, interactive_security_parameter: int,
                  constraint_domain_dim: int, make_zk: bool):
         self.F = F
         self.interactive_security_parameter = interactive_security_parameter
@@ -51,7 +50,7 @@ class LincheckParams:
 class MultiLincheckVirtualOracle(VirtualOracle):
     """q(x) as above; constituents [fz, fAz, fBz, fCz]."""
 
-    def __init__(self, F: PrimeField, codeword_domain, constraint_domain,
+    def __init__(self, F, codeword_domain, constraint_domain,
                  variable_domain, summation_domain, input_variable_dim: int,
                  matrices: List[SparseMatrix]):
         self.F = F
@@ -97,17 +96,17 @@ class MultiLincheckVirtualOracle(VirtualOracle):
             assert acc.shape[1] == nv, (acc.shape, nv)
         p2 = jnp.zeros((F.L, Hs.order), dtype=jnp.uint32)
         p2 = p2.at[:, jnp.asarray(self.var_to_sum)].set(acc)
-        self._p1_coeffs = ifft(p1, Hs)
-        self._p2_coeffs = ifft(p2, Hs)
+        self._p1_coeffs = ifft_any(p1, Hs)
+        self._p2_coeffs = ifft_any(p2, Hs)
         self._host_coeffs = None
-        self.r_M = [int(r) % F.p for r in r_M]
+        self.r_M = [F.sample_int(int(r)) for r in r_M]
 
     def evaluated_contents(self, evals):
         assert self._p1_coeffs is not None, "challenge not set"
         F = self.F
         fz = evals[0]
-        p1_cw = fft(self._p1_coeffs, self.L)
-        p2_cw = fft(self._p2_coeffs, self.L)
+        p1_cw = fft_any(self._p1_coeffs, self.L)
+        p2_cw = fft_any(self._p2_coeffs, self.L)
         combined_Mz = None
         for m, ev in enumerate(evals[1:]):
             r_l = F.from_ints([self.r_M[m]]).reshape(F.L, 1)
@@ -125,17 +124,15 @@ class MultiLincheckVirtualOracle(VirtualOracle):
 
     def evaluation_at_point(self, position, x, vals):
         assert self._p1_coeffs is not None, "challenge not set"
-        p = self.F.p
+        F = self.F
         p1c, p2c = self._get_host_coeffs()
-        p1_x = 0
-        for c in reversed(p1c):
-            p1_x = (p1_x * x + c) % p
-        p2_x = 0
-        for c in reversed(p2c):
-            p2_x = (p2_x * x + c) % p
+        p1_x = horner_eval_ints(F, p1c, x)
+        p2_x = horner_eval_ints(F, p2c, x)
         fz_x = vals[0]
-        combined = sum(r * v for r, v in zip(self.r_M, vals[1:])) % p
-        return (combined * p1_x - fz_x * p2_x) % p
+        combined = 0
+        for r, v in zip(self.r_M, vals[1:]):
+            combined = F.add_ints(combined, F.mul_ints(r, v))
+        return F.sub_ints(F.mul_ints(combined, p1_x), F.mul_ints(fz_x, p2_x))
 
 
 class MultiLincheck:

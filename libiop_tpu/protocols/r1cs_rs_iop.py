@@ -23,36 +23,19 @@ import jax.numpy as jnp
 
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset
-from ..algebra.fft import fft, ifft
-from ..algebra.poly import (divide_by_vanishing, mul_by_vanishing,
-                            vanishing_evals_over, vanishing_inverse_evals_over)
+from ..algebra.generic import (divide_by_vanishing_any, fft_any, ifft_any,
+                               lagrange_coeffs_ints_any, mul_by_vanishing_any,
+                               vanishing_eval_int, vanishing_evals_over_any,
+                               vanishing_inverse_evals_over_any)
 from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
 from ..relations.r1cs import R1CS
 from .lincheck import LincheckParams, MultiLincheck
 
 
-def lagrange_coeffs_ints(domain: MultiplicativeCoset, x: int) -> List[int]:
-    """Host-int Lagrange coefficients of a (small) coset at x."""
-    F = domain.field
-    p = F.p
-    h = domain.order
-    z_x = (pow(x, h, p) - pow(domain.shift, h, p)) % p
-    out = []
-    c = h * pow(domain.shift, h - 1, p) % p  # Z'(e_i) = c * g^{-i}
-    for i in range(h):
-        e_i = domain.element_by_index_int(i)
-        if x % p == e_i:
-            return [1 if j == i else 0 for j in range(h)]
-        zp = c * pow(domain.g, (-i) % (p - 1), p) % p
-        out.append(z_x * pow(zp * (x - e_i) % p, p - 2, p) % p)
-    return out
-
-
 class FzOracle(VirtualOracle):
     """fz = fw * Z_input + f_{1,v} (r1cs_rs_iop.tcc:144-258)."""
 
-    def __init__(self, F: PrimeField, input_domain: MultiplicativeCoset,
-                 codeword_domain: MultiplicativeCoset):
+    def __init__(self, F, input_domain, codeword_domain):
         self.F = F
         self.input_domain = input_domain
         self.L = codeword_domain
@@ -60,39 +43,40 @@ class FzOracle(VirtualOracle):
         self._f1v_cw = None
 
     def set_primary_input(self, primary: List[int]):
-        self.primary = [int(v) % self.F.p for v in primary]
+        self.primary = [self.F.sample_int(int(v)) for v in primary]
         self._f1v_cw = None
 
     def _f1v_over_codeword(self):
         if self._f1v_cw is None:
             F = self.F
             vals = F.from_ints([1] + self.primary)
-            coeffs = ifft(vals, self.input_domain)
-            self._f1v_cw = fft(coeffs, self.L)
+            coeffs = ifft_any(vals, self.input_domain)
+            self._f1v_cw = fft_any(coeffs, self.L)
         return self._f1v_cw
 
     def evaluated_contents(self, evals):
         assert self.primary is not None
         F = self.F
         fw = evals[0]
-        z_in = vanishing_evals_over(self.input_domain, self.L)
+        z_in = vanishing_evals_over_any(self.input_domain, self.L)
         return F.add(F.mul(fw, z_in), self._f1v_over_codeword())
 
     def evaluation_at_point(self, position, x, vals):
         assert self.primary is not None
-        p = self.F.p
+        F = self.F
         fw_x = vals[0]
-        lag = lagrange_coeffs_ints(self.input_domain, x)
-        f1v_x = (lag[0] + sum(l * v for l, v in zip(lag[1:], self.primary))) % p
-        z_x = (pow(x, self.input_domain.order, p)
-               - pow(self.input_domain.shift, self.input_domain.order, p)) % p
-        return (fw_x * z_x + f1v_x) % p
+        lag = lagrange_coeffs_ints_any(self.input_domain, x)
+        f1v_x = lag[0]
+        for l, v in zip(lag[1:], self.primary):
+            f1v_x = F.add_ints(f1v_x, F.mul_ints(l, v))
+        z_x = vanishing_eval_int(self.input_domain, x)
+        return F.add_ints(F.mul_ints(fw_x, z_x), f1v_x)
 
 
 class RowcheckOracle(VirtualOracle):
     """(fAz*fBz - fCz) / Z_constraint over the codeword domain."""
 
-    def __init__(self, F: PrimeField, codeword_domain, constraint_domain):
+    def __init__(self, F, codeword_domain, constraint_domain):
         self.F = F
         self.L = codeword_domain
         self.constraint_domain = constraint_domain
@@ -100,19 +84,18 @@ class RowcheckOracle(VirtualOracle):
     def evaluated_contents(self, evals):
         F = self.F
         az, bz, cz = evals
-        z_inv = vanishing_inverse_evals_over(self.constraint_domain, self.L)
+        z_inv = vanishing_inverse_evals_over_any(self.constraint_domain, self.L)
         return F.mul(F.sub(F.mul(az, bz), cz), z_inv)
 
     def evaluation_at_point(self, position, x, vals):
-        p = self.F.p
+        F = self.F
         az, bz, cz = vals
-        z_x = (pow(x, self.constraint_domain.order, p)
-               - pow(self.constraint_domain.shift, self.constraint_domain.order, p)) % p
-        return (az * bz - cz) * pow(z_x, p - 2, p) % p
+        z_x = vanishing_eval_int(self.constraint_domain, x)
+        return F.mul_ints(F.sub_ints(F.mul_ints(az, bz), cz), F.inv_int(z_x))
 
 
 class EncodedAuroraParams:
-    def __init__(self, F: PrimeField, interactive_security_bits: int,
+    def __init__(self, F, interactive_security_bits: int,
                  codeword_domain_dim: int, constraint_domain_dim: int,
                  summation_domain_dim: int, query_bound: int, make_zk: bool,
                  holographic: bool = False, index_domain_dim: int = 0):
@@ -253,23 +236,23 @@ class EncodedAurora:
         n = self.variable_domain.order
         b = self.params.query_bound
         # f_{1,v}: interpolate (1, primary) over the input domain
-        f1v_coeffs = ifft(F.from_ints([1] + list(primary)), self.input_domain)
-        f1v_vd = fft(f1v_coeffs, self.variable_domain)
+        f1v_coeffs = ifft_any(F.from_ints([1] + list(primary)), self.input_domain)
+        f1v_vd = fft_any(f1v_coeffs, self.variable_domain)
         # fw' evals over the variable domain: aux - f1v at witness slots, 0 at inputs
         aux_positions = jnp.asarray(self.var_reindex[k + 1:])
         aux_mont = F.from_ints(list(auxiliary))
         fw_prime = jnp.zeros((F.L, n), dtype=jnp.uint32)
         fw_prime = fw_prime.at[:, aux_positions].set(
             F.sub(aux_mont, f1v_vd[:, aux_positions]))
-        fw_coeffs = ifft(fw_prime, self.variable_domain)
+        fw_coeffs = ifft_any(fw_prime, self.variable_domain)
         if self.params.make_zk:
             # += Z_var * R_w, R_w random of degree < b
             mask = F.random((max(b, 1),), self.rng)
-            zr = mul_by_vanishing(mask, self.variable_domain)  # (L, n + b)
+            zr = mul_by_vanishing_any(mask, self.variable_domain)  # (L, n + b)
             ext = zr.at[:, :n].set(F.add(zr[:, :n], fw_coeffs))
             fw_coeffs = ext
-        quotient, _rem = divide_by_vanishing(fw_coeffs, self.input_domain)
-        fw_cw = fft(quotient, self.L) if quotient.shape[1] else \
+        quotient, _rem = divide_by_vanishing_any(fw_coeffs, self.input_domain)
+        fw_cw = fft_any(quotient, self.L) if quotient.shape[1] else \
             jnp.zeros((F.L, self.L.order), dtype=jnp.uint32)
         # f_Mz: sparse matvec over the constraint domain -> LDE to codeword
         z = self.r1cs.full_assignment(primary, auxiliary)
@@ -278,13 +261,13 @@ class EncodedAurora:
         self.iop.submit_oracle(self.fw_handle, fw_cw)
         for M, handle in zip([A, B, C], out_handles):
             Mz = M.matvec(z)
-            coeffs = ifft(Mz, self.constraint_domain)
+            coeffs = ifft_any(Mz, self.constraint_domain)
             if self.params.make_zk:
                 maskM = F.random((max(b, 1),), self.rng)
                 m_ord = self.constraint_domain.order
-                zr = mul_by_vanishing(maskM, self.constraint_domain)
+                zr = mul_by_vanishing_any(maskM, self.constraint_domain)
                 coeffs = zr.at[:, :m_ord].set(F.add(zr[:, :m_ord], coeffs))
-            self.iop.submit_oracle(handle, fft(coeffs, self.L))
+            self.iop.submit_oracle(handle, fft_any(coeffs, self.L))
 
     def calculate_and_submit_proof(self):
         if self.params.holographic:

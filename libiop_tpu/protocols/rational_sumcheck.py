@@ -1,12 +1,13 @@
 """Rational sumcheck over the index domain K ([COS19], Fractal).
 
-Counterpart of libiop/protocols/encoded/sumcheck/rational_sumcheck.{hpp,tcc}:
-the prover sends the re-extension p of N/D over K (constant coefficient
-dropped — it encodes the claimed sum: sum_K N/D = |K| * c_0); the virtual
-constraint oracle
-    q(x) = (D(x) * (x*p(x) + mu/|K|) - N(x)) / Z_K(x)
-is low-degree iff p agrees with N/D on K and the claimed sum is mu
-(rational_sumcheck.tcc:100-170, multiplicative case).
+Counterpart of libiop/protocols/encoded/sumcheck/rational_sumcheck.{hpp,tcc},
+both domain families (rational_sumcheck.tcc:75-160, 224-245):
+* multiplicative: the prover sends the re-extension p of N/D over K with the
+  CONSTANT coefficient dropped (it encodes the claimed sum, sum_K = |K|*c_0);
+  constraint q(x) = (D(x) * (x*p(x) + mu/|K|) - N(x)) / Z_K(x);
+* additive: the TOP coefficient is dropped (sum_K = eps * c_{|K|-1}, eps the
+  linear coefficient of the linearized Z_K);
+  constraint q(x) = (D(x) * (p(x) + eps^{-1} mu x^{|K|-1}) - N(x)) / Z_K(x).
 """
 from __future__ import annotations
 
@@ -14,43 +15,59 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from ..fields.prime import PrimeField
-from ..algebra.domains import MultiplicativeCoset
-from ..algebra.fft import fft, ifft
-from ..algebra.poly import vanishing_inverse_evals_over
+from ..algebra.generic import (fft_any, ifft_any, is_additive,
+                               linearized_vanishing, vanishing_eval_int,
+                               vanishing_inverse_evals_over_any)
 from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
 
 
 class SumcheckConstraintOracle(VirtualOracle):
     """Constituents: (p, N, D)."""
 
-    def __init__(self, F: PrimeField, K: MultiplicativeCoset,
-                 L: MultiplicativeCoset):
+    def __init__(self, F, K, L):
         self.F = F
         self.K = K
         self.L = L
+        self.additive = is_additive(K)
         self.claimed_sum: Optional[int] = None
 
     def set_claimed_sum(self, mu: int):
-        self.claimed_sum = mu % self.F.p
-        self.mu_over_K = mu * pow(self.K.order, self.F.p - 2, self.F.p) % self.F.p
+        F = self.F
+        self.claimed_sum = F.sample_int(mu)
+        if self.additive:
+            eps = linearized_vanishing(self.K).epsilon
+            self.mu_scaled = F.mul_ints(self.claimed_sum, F.inv_int(eps))
+        else:
+            self.mu_scaled = F.mul_ints(self.claimed_sum,
+                                        F.inv_int(self.K.order % F.p))
 
     def evaluated_contents(self, evals):
         assert self.claimed_sum is not None
         F = self.F
         p_evals, n_evals, d_evals = evals
-        z_inv = vanishing_inverse_evals_over(self.K, self.L)
-        mu_l = F.from_ints([self.mu_over_K]).reshape(F.L, 1)
-        xp = F.mul(self.L.elements(), p_evals)
-        inner = F.add(xp, jnp.broadcast_to(mu_l, xp.shape).astype(jnp.uint32))
+        z_inv = vanishing_inverse_evals_over_any(self.K, self.L)
+        mu_l = F.from_ints([self.mu_scaled]).reshape(F.L, 1)
+        if self.additive:
+            x_pow = F.pow_static(jnp.asarray(self.L.elements()),
+                                 self.K.order - 1)
+            inner = F.add(p_evals, F.mul(x_pow, mu_l))
+        else:
+            xp = F.mul(self.L.elements(), p_evals)
+            inner = F.add(xp, jnp.broadcast_to(mu_l, xp.shape).astype(jnp.uint32))
         return F.mul(F.sub(F.mul(d_evals, inner), n_evals), z_inv)
 
     def evaluation_at_point(self, position, x, vals):
         assert self.claimed_sum is not None
-        p = self.F.p
+        F = self.F
         p_x, n_x, d_x = vals
-        z_x = (pow(x, self.K.order, p) - pow(self.K.shift, self.K.order, p)) % p
-        return (d_x * (x * p_x + self.mu_over_K) - n_x) * pow(z_x, p - 2, p) % p
+        z_x = vanishing_eval_int(self.K, x)
+        if self.additive:
+            inner = F.add_ints(p_x, F.mul_ints(
+                self.mu_scaled, F.pow_int(x, self.K.order - 1)))
+        else:
+            inner = F.add_ints(F.mul_ints(x, p_x), self.mu_scaled)
+        return F.mul_ints(F.sub_ints(F.mul_ints(d_x, inner), n_x),
+                          F.inv_int(z_x))
 
 
 class RationalSumcheck:
@@ -85,18 +102,24 @@ class RationalSumcheck:
     def calculate_and_submit_proof(self, rational_over_K):
         """rational_over_K: (L, |K|) values of N/D on K (natural order)."""
         F = self.F
-        coeffs = ifft(rational_over_K, self.K)
-        c0 = int(F.to_ints(coeffs[:, :1])[0])
-        self.claimed_sum = c0 * self.K.order % F.p
-        reext = coeffs[:, 1:]  # drop the constant coefficient
-        self.iop.submit_oracle(self.reextended_handle, fft(reext, self.L))
+        coeffs = ifft_any(rational_over_K, self.K)
+        if is_additive(self.K):
+            top = int(F.to_ints(coeffs[:, -1:])[0])
+            eps = linearized_vanishing(self.K).epsilon
+            self.claimed_sum = F.mul_ints(eps, top)
+            reext = coeffs[:, :-1]  # drop the top coefficient
+        else:
+            c0 = int(F.to_ints(coeffs[:, :1])[0])
+            self.claimed_sum = F.mul_ints(c0, self.K.order % F.p)
+            reext = coeffs[:, 1:]  # drop the constant coefficient
+        self.iop.submit_oracle(self.reextended_handle, fft_any(reext, self.L))
         self.constraint_oracle.set_claimed_sum(self.claimed_sum)
 
     def get_claimed_sum(self) -> int:
         return self.claimed_sum
 
     def construct_verifier_state(self, claimed_sum: int):
-        self.claimed_sum = claimed_sum % self.F.p
+        self.claimed_sum = self.F.sample_int(claimed_sum)
         self.constraint_oracle.set_claimed_sum(self.claimed_sum)
 
     def ldt_oracle_handles(self):

@@ -26,8 +26,10 @@ import jax.numpy as jnp
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset
 from ..algebra.fft import fft, ifft_of_known_degree
-from ..algebra.poly import (divide_by_vanishing, mul_by_vanishing,
-                            vanishing_evals_over)
+from ..algebra.generic import (divide_by_vanishing_any, fft_any,
+                               ifft_known_any, linearized_vanishing,
+                               mul_by_vanishing_any, vanishing_evals_over_any)
+from ..algebra.poly import mul_by_vanishing, vanishing_evals_over
 from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
 from .common import RandomLinearCombinationOracle
 
@@ -44,8 +46,7 @@ class SumcheckGOracle(VirtualOracle):
         self.L = codeword_domain
         self.additive = summation_domain.kind == "affine_subspace"
         if self.additive:
-            from ..algebra.linearized import LinearizedVanishing
-            self.Z = LinearizedVanishing(summation_domain)
+            self.Z = linearized_vanishing(summation_domain)
         self.claimed_sum: Optional[int] = None
 
     def set_claimed_sum(self, mu: int):
@@ -88,22 +89,9 @@ class SumcheckGOracle(VirtualOracle):
         return (f_x - self.mu_scaled - z_x * h_x) * pow(x, p - 2, p) % p
 
 
-def _fft_any(coeffs, domain):
-    if domain.kind == "affine_subspace":
-        from ..algebra.subspace import additive_fft
-        return additive_fft(coeffs, domain)
-    return fft(coeffs, domain)
-
-
-def _ifft_known_any(evals, domain, degree_bound: int):
-    if domain.kind == "affine_subspace":
-        from ..algebra.subspace import additive_ifft
-        d = 1 << (max(1, degree_bound) - 1).bit_length()
-        if d >= domain.order:
-            return additive_ifft(evals, domain)
-        # the prefix-basis subdomain occupies the CONTIGUOUS first d slots
-        return additive_ifft(evals[..., :d], domain.get_subset_of_order(d))
-    return ifft_of_known_degree(evals, domain, degree_bound)
+# aliases kept for call-site brevity (dispatch lives in algebra.generic)
+_fft_any = fft_any
+_ifft_known_any = ifft_known_any
 
 
 class BatchSumcheck:
@@ -172,8 +160,7 @@ class BatchSumcheck:
         h_coeffs = F.random((max(self.h_degree, 1),), self.rng)
         if self.additive:
             g_coeffs = g_coeffs.at[:, self.H.order - 1].set(0)
-            from ..algebra.linearized import LinearizedVanishing
-            Z = LinearizedVanishing(self.H)
+            Z = linearized_vanishing(self.H)
             m = jnp.zeros((F.L, self.degree_bound), dtype=jnp.uint32)
             hl = h_coeffs.shape[1]
             for deg, c in Z.coeffs_dense_positions():
@@ -204,13 +191,7 @@ class BatchSumcheck:
         coeffs = coeffs[:, :max(self.degree_bound, 1)]
         mu = self._combined_claimed_sum(challenge)
         self.g_oracle.set_claimed_sum(mu)
-        if self.additive:
-            from ..algebra.linearized import (LinearizedVanishing,
-                                              divide_by_linearized)
-            quotient, _rem = divide_by_linearized(
-                F, coeffs, LinearizedVanishing(self.H))
-        else:
-            quotient, _rem = divide_by_vanishing(coeffs, self.H)
+        quotient, _rem = divide_by_vanishing_any(coeffs, self.H)
         if quotient.shape[1] == 0:
             quotient = jnp.zeros((F.L, 1), dtype=jnp.uint32)
         d = 1 << (max(quotient.shape[1], 1) - 1).bit_length()

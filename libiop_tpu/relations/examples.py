@@ -9,30 +9,26 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..fields.prime import PrimeField
 from .r1cs import R1CS
 
 
-def generate_r1cs_example(F: PrimeField, num_constraints: int, num_inputs: int,
+def generate_r1cs_example(F, num_constraints: int, num_inputs: int,
                           num_variables: int, rng: np.random.Generator | None = None):
     """Returns (r1cs, primary_input, auxiliary_input) with int inputs."""
     assert num_inputs <= num_variables
     rng = rng or np.random.default_rng()
-    assignment = [
-        (int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
-         * int(rng.integers(0, 1 << 62))) % F.p
-        for _ in range(num_variables)]
+    assignment = F.random_ints(num_variables, rng)
 
     cs = R1CS(F, num_inputs, num_variables)
     for i in range(num_constraints):
         a_idx = i % num_variables
         b_idx = (i + 7) % num_variables
         c_idx = (2 * i + 1) % num_variables
-        ab = assignment[a_idx] * assignment[b_idx] % F.p
+        ab = F.mul_ints(assignment[a_idx], assignment[b_idx])
         if assignment[c_idx] == 0:
             C = [(0, ab)]
         else:
-            C = [(c_idx + 1, ab * pow(assignment[c_idx], F.p - 2, F.p) % F.p)]
+            C = [(c_idx + 1, F.mul_ints(ab, F.inv_int(assignment[c_idx])))]
         cs.add_constraint([(a_idx + 1, 1)], [(b_idx + 1, 1)], C)
 
     primary = assignment[:num_inputs]

@@ -48,7 +48,7 @@ class R1CS:
                 entries = []
                 for i, cons in enumerate(self.constraints):
                     for (var, coeff) in cons[which]:
-                        entries.append((i, var, coeff % self.F.p))
+                        entries.append((i, var, self.F.sample_int(coeff)))
                 if not entries:
                     entries = []
                 mats.append(SparseMatrix.from_entries(

@@ -1,4 +1,4 @@
-"""Sparse matrices over a prime field, with TPU-native matvec.
+"""Sparse matrices over either field family, with TPU-native matvec.
 
 Counterpart of libiop/relations/sparse_matrix.{hpp,tcc} (row-wise sparse
 views of R1CS A/B/C).  The TPU design bakes the static COO structure into
@@ -23,7 +23,7 @@ MAX_ROW_NNZ = 1 << 12
 class SparseMatrix:
     """COO sparse matrix; values in Montgomery form on device."""
 
-    def __init__(self, F: PrimeField, num_rows: int, num_cols: int,
+    def __init__(self, F, num_rows: int, num_cols: int,
                  rows: np.ndarray, cols: np.ndarray, vals):
         self.F = F
         self.num_rows = num_rows
@@ -45,7 +45,7 @@ class SparseMatrix:
         return len(self.rows)
 
     @classmethod
-    def from_entries(cls, F: PrimeField, num_rows: int, num_cols: int,
+    def from_entries(cls, F, num_rows: int, num_cols: int,
                      entries):
         """entries: list of (row, col, int_value)."""
         rows = np.array([e[0] for e in entries], dtype=np.int32)
@@ -54,12 +54,9 @@ class SparseMatrix:
         return cls(F, num_rows, num_cols, rows, cols, vals)
 
     def _segsum(self, prod, seg_ids, num_segments):
-        """prod (L, nnz) -> (L, num_segments) lazy limb sums, reduced mod p."""
-        F = self.F
-        lazy = jax.ops.segment_sum(
-            jnp.moveaxis(prod, 0, -1), seg_ids, num_segments=num_segments)
-        lazy = jnp.moveaxis(lazy, -1, 0)  # (L, num_segments)
-        return F.lazy_sum_reduce(lazy)
+        """prod (L, nnz) -> (L, num_segments), field-generic segment
+        reduction (lazy-limb mod-p sums / XOR bit-plane parity)."""
+        return self.F.segment_reduce(prod, seg_ids, num_segments)
 
     def matvec(self, z):
         """M @ z for z (L, num_cols) Montgomery -> (L, num_rows)."""

@@ -12,7 +12,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..algebra.domains import MultiplicativeCoset
+from ..algebra.generic import element_outside_of_subset, make_domain
 from ..algebra.fft import fft
 from ..bcs.common import BCSParameters, BCSTranscript
 from ..bcs.prover import BCSProver
@@ -55,8 +55,9 @@ class FRISnarkParams:
 
 def _build(engine, F, params: FRISnarkParams):
     fri_params = params.fri_params(F)
-    domain = MultiplicativeCoset(F, params.codeword_domain_dim,
-                                 shift=F.multiplicative_generator)
+    domain = make_domain(F, params.codeword_domain_dim,
+                         shift=element_outside_of_subset(
+                             F, params.codeword_domain_dim))
     cw = engine.register_domain(domain)
     degree = fri_params.poly_degree_bound
     handles = [engine.register_oracle(cw, degree)

@@ -40,5 +40,9 @@ class BlockProfiler:
         for depth, name, secs in self.records:
             print(f"{'  ' * depth}[{secs:8.3f}s] {name}")
 
+    def report(self) -> list:
+        """[(depth, name, seconds)] — JSON-serializable timing tree."""
+        return [(d, n, round(s, 4)) for d, n, s in self.records]
+
 
 PROFILER = BlockProfiler()

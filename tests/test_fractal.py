@@ -92,3 +92,55 @@ def test_fractal_snark_rejects_wrong_index_roots(rng):
     ba[0] ^= 1
     bad_index[key] = bytes(ba)
     assert not fractal_snark_verifier(cs, primary, bad_index, proof, params)
+
+
+def test_fractal_index_is_true_checkpoint(rng):
+    """Proving from a persisted index must do ZERO round-0 leaf serialization
+    or hashing (bcs_prover.tcc:11-21 preprocessing semantics), and two proofs
+    from one index must both verify."""
+    import libiop_tpu.bcs.prover as bp
+    from libiop_tpu.bcs.common import BCSTranscript
+    from libiop_tpu.snark.fractal import (fractal_snark_indexer,
+                                          fractal_snark_prover,
+                                          fractal_snark_verifier)
+    F = edwards_fr()
+    cs, primary, aux = generate_r1cs_example(F, 16, 3, 15, rng)
+    params = FractalSnarkParams(
+        security_parameter=32, RS_extra_dimensions=2,
+        fri_localization_parameter=1, override_fri_queries=3,
+        override_fri_interactive_repetitions=1, override_ldt_instances=1)
+    pidx, vidx = fractal_snark_indexer(cs, params)
+    assert pidx[2], "prover index carries no Merkle checkpoint data"
+    index_keys = set(pidx[2].keys())
+    built = []
+    orig = bp.MerkleTree
+
+    class CountingMT(orig):
+        def __init__(self, hasher, blocks, make_zk=False, _salts=None):
+            built.append(len(blocks))
+            super().__init__(hasher, blocks, make_zk=make_zk, _salts=_salts)
+
+    rehydrated = []
+    orig_from_nodes = orig.from_nodes.__func__
+
+    def counting_from_nodes(cls, hasher, num_leaves, nodes, **kw):
+        rehydrated.append(num_leaves)
+        return orig_from_nodes(cls, hasher, num_leaves, nodes, **kw)
+
+    bp.MerkleTree = CountingMT
+    CountingMT.from_nodes = classmethod(counting_from_nodes)
+    try:
+        proof = fractal_snark_prover(cs, primary, aux, pidx, params,
+                                     rng=np.random.default_rng(5))
+    finally:
+        bp.MerkleTree = orig
+    # every index tree was rehydrated from the checkpoint (zero hashing);
+    # freshly built trees are exactly the non-index rounds
+    assert len(rehydrated) == len(index_keys) >= 1
+    blob = proof.serialize()
+    assert fractal_snark_verifier(
+        cs, primary, vidx, BCSTranscript.deserialize(blob), params)
+    proof2 = fractal_snark_prover(cs, primary, aux, pidx, params,
+                                  rng=np.random.default_rng(6))
+    assert fractal_snark_verifier(
+        cs, primary, vidx, BCSTranscript.deserialize(proof2.serialize()), params)

@@ -84,3 +84,56 @@ def test_fri_rejects_high_degree(rng):
     codeword = F.random((1 << dim,), rng)
     fri = _run_fri(codeword, degree_bound, dim, [1, 2])
     assert not fri.verifier_predicate()
+
+
+@pytest.mark.parametrize("eta", [3, 4])
+def test_batched_fold_high_eta(eta):
+    """eta=3-4 folds (the reference's preferred localization sizes,
+    test_aurora_snark.cpp:21) in one jitted dispatch, validated against the
+    host-int Lagrange mirror."""
+    from libiop_tpu.protocols.fri import (fold_codeword,
+                                          interpolate_coset_at_point_ints)
+    F = edwards_fr()
+    dom = MultiplicativeCoset(F, 7, shift=F.multiplicative_generator)
+    rng = np.random.default_rng(eta)
+    ints = F.random_ints(dom.order, rng)
+    x = F.random_ints(1, rng)[0]
+    folded = F.to_ints(fold_codeword(F, F.from_ints(ints), dom, eta, x))
+    c = 1 << eta
+    nc = dom.order // c
+    for j in range(nc):
+        coset_vals = [ints[j + k * nc] for k in range(c)]
+        shift = dom.element_by_index_int(j)
+        assert int(folded[j]) == interpolate_coset_at_point_ints(
+            F, coset_vals, shift, eta, x), j
+
+
+def test_fri_early_stop_rejected(rng):
+    """Multiplicative EarlyStop variant (test_fri.cpp:107-260): a codeword of
+    degree one final-coset too high passes every fold consistency check but
+    must fail the final-polynomial degree truncation."""
+    from libiop_tpu.iop.runtime import RoundParameters
+    F = edwards_fr()
+    dim, rs_extra = 8, 2
+    etas = [1, 2]
+    dom = MultiplicativeCoset(F, dim, shift=F.multiplicative_generator)
+    deg = 1 << (dim - rs_extra)
+    iop = IOPProtocol(F, seed=5)
+    lh = iop.register_domain(dom)
+    iop.set_round_parameters(RoundParameters(1 << etas[0]), round=0)
+    oh = iop.register_oracle(lh, deg)
+    params = FRIParameters(F, 32, 32, FRISoundnessType.heuristic, deg, dim,
+                           rs_extra, (1 << dim) - deg - 1, etas)
+    params.num_query_repetitions = 4
+    params.num_interactive_repetitions = 1
+    fri = FRIProtocol(iop, params, lh, [oh])
+    fri.register_interactions()
+    iop.seal_interaction_registrations()
+    fri.register_queries()
+    iop.seal_query_registrations()
+    # degree deg * 2^{last eta}: folds cleanly until the final round
+    too_high = F.from_ints(F.random_ints(deg * (1 << etas[-1]), rng))
+    iop.submit_oracle(oh, fft(too_high, dom))
+    iop.signal_prover_round_done()
+    fri.calculate_and_submit_proof()
+    assert not fri.verifier_predicate()

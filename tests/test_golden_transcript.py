@@ -19,7 +19,7 @@ from libiop_tpu.snark.aurora import AuroraSnarkParams, aurora_snark_prover
 
 # sha256 of the canonical serialized transcript for the fixed configuration
 # below (filled in by running this file's __main__)
-GOLDEN_SHA256 = "9f4f466afa2432b59f0a4d6ab186f7ea44c0b018c7d813593d7e18956edd894a"
+GOLDEN_SHA256 = "ca51f9c12bb0f3383b696ad92bd3b7af9a13acd29463a760d5dd61d7d7db17ce"
 
 
 def _deterministic_proof():

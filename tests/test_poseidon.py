@@ -85,3 +85,39 @@ def test_aurora_snark_with_poseidon(rng):
     bad[0] ^= 1
     proof.mt_roots[key] = bytes(bad)
     assert not aurora_snark_verifier(cs, primary, proof, params)
+
+
+def test_high_alpha_poseidon_aurora_roundtrip():
+    """hash_enum parity (hash_enum.hpp:21-27): the third enum — high-alpha
+    Poseidon (alpha=17, near-MDS) — must drive a full Aurora SNARK."""
+    import numpy as np
+    from libiop_tpu.fields.prime import alt_bn128_fr
+    from libiop_tpu.relations.examples import generate_r1cs_example
+    from libiop_tpu.snark.aurora import (AuroraSnarkParams,
+                                         aurora_snark_prover,
+                                         aurora_snark_verifier)
+    from libiop_tpu.bcs.common import BCSTranscript
+    F = alt_bn128_fr()
+    cs, primary, aux = generate_r1cs_example(F, 16, 3, 15,
+                                             np.random.default_rng(77))
+    params = AuroraSnarkParams(
+        security_parameter=32, RS_extra_dimensions=2,
+        fri_localization_parameter=1, hash_name="poseidon_high_alpha",
+        override_fri_queries=3, override_fri_interactive_repetitions=1,
+        override_ldt_instances=1)
+    proof = aurora_snark_prover(cs, primary, aux, params,
+                                rng=np.random.default_rng(78))
+    assert aurora_snark_verifier(
+        cs, primary, BCSTranscript.deserialize(proof.serialize()), params)
+
+
+def test_derived_round_counts_match_reference_table():
+    """The interpolation-bound derivation reproduces the reference's
+    alpha=5 table value (56 partial rounds at 128-bit over BN254,
+    poseidon.tcc:312-320) instead of asserting magic numbers."""
+    from libiop_tpu.fields.prime import alt_bn128_fr
+    from libiop_tpu.bcs.poseidon import derived_partial_rounds
+    F = alt_bn128_fr()
+    assert derived_partial_rounds(5, 3, 128, F.p.bit_length()) == 56
+    # high-alpha: our bound (33) is at or above the reference's Grobner 29
+    assert derived_partial_rounds(17, 3, 128, F.p.bit_length()) >= 29
