@@ -229,6 +229,139 @@ class InterleavedLincheckOT:
         return True
 
 
+class InterleavedLincheckET:
+    """Interleaved lincheck with an EXPLICIT public target vector b: tests
+    that the message encoded by the interleaved RS code satisfies M·x = b
+    (Test-Linear-Constraints, [ACIV17] §4.2).  Counterpart of
+    interleaved_lincheck_et.{hpp,tcc} — tested but unused in the reference's
+    main Ligero path (which routes targets through oracles via the OT
+    variant); provided for full protocol-inventory parity.
+
+    Per interaction: verifier sends r (one entry per matrix row); prover
+    responds with the low part of the coefficients of
+    q = sum_i s_i · U_i (+ blinding), s = M^T r split into row blocks
+    (interleaved_lincheck_et.tcc:137-206).  Verifier checks
+    (1) sum_{d in H} q(zeta_d) == r^T b  and (2) consistency of q against
+    the row oracles at each queried column (tcc:209-341)."""
+
+    def __init__(self, iop, codeword_h, systematic_h, extended_h,
+                 num_oracles: int, num_queries: int, num_interactions: int,
+                 make_zk: bool, matrix: SparseMatrix,
+                 target_vector: List[int]):
+        self.iop = iop
+        self.F = iop.F
+        self.codeword_h = codeword_h
+        self.L = iop.get_domain(codeword_h)
+        self.H = iop.get_domain(systematic_h)
+        self.extended = iop.get_domain(extended_h)
+        self.num_oracles = num_oracles
+        self.num_queries = num_queries
+        self.num_interactions = num_interactions
+        self.make_zk = make_zk
+        self.matrix = matrix
+        self.target_vector = list(target_vector)
+        assert len(self.target_vector) == matrix.num_rows
+        self.response_size = 2 * self.H.order
+        self.input_handles: List[OracleHandle] = []
+        self.blinding_handles: List[OracleHandle] = []
+
+    def attach_input_vector_row_oracles(self, handles):
+        assert len(handles) == self.num_oracles
+        self.input_handles = list(handles)
+
+    def attach_blinding_vector_row_oracles(self, handles):
+        assert len(handles) == self.num_interactions
+        self.blinding_handles = list(handles)
+
+    def register_linear_combinations(self):
+        self.rlc_handles = [
+            self.iop.register_verifier_random_message(self.matrix.num_rows)
+            for _ in range(self.num_interactions)]
+
+    def register_responses(self):
+        self.response_handles = [
+            self.iop.register_prover_message(self.response_size)
+            for _ in range(self.num_interactions)]
+
+    def register_queries(self):
+        self.register_queries_for_given_positions([
+            self.iop.register_random_query_position(self.codeword_h)
+            for _ in range(self.num_queries)])
+
+    def register_queries_for_given_positions(self, position_handles):
+        self.position_handles = list(position_handles)
+        self.input_queries = [
+            [self.iop.register_query(h, pos) for h in self.input_handles]
+            for pos in self.position_handles]
+        if self.make_zk:
+            self.blinding_queries = [
+                [self.iop.register_query(h, pos) for h in self.blinding_handles]
+                for pos in self.position_handles]
+
+    def _s_blocks(self, r: List[int]):
+        """s = M^T r split into (L, num_oracles, |H|) row blocks."""
+        F = self.F
+        s_dev = self.matrix.matvec_transpose(F.from_ints(r))
+        return s_dev.reshape(F.L, self.num_oracles, self.H.order)
+
+    def calculate_and_submit_responses(self):
+        F = self.F
+        input_evals = jnp.stack(
+            [self.iop.get_oracle_evaluations(h) for h in self.input_handles],
+            axis=1)
+        for h_idx in range(self.num_interactions):
+            r = self.iop.obtain_verifier_random_message(
+                self.rlc_handles[h_idx])
+            s_cw = _encode_rows(F, self._s_blocks(r), self.H, self.L)
+            resp = _row_sum(F, F.mul(s_cw, input_evals))
+            if self.make_zk:
+                resp = F.add(resp, self.iop.get_oracle_evaluations(
+                    self.blinding_handles[h_idx]))
+            coeffs = ifft_any(resp, self.L)
+            ints = [int(v) for v in F.to_ints(coeffs[:, :self.response_size])]
+            self.iop.submit_prover_message(self.response_handles[h_idx], ints)
+
+    def verifier_predicate(self) -> bool:
+        F = self.F
+        h_ord = self.H.order
+        for h_idx in range(self.num_interactions):
+            r = self.iop.obtain_verifier_random_message(
+                self.rlc_handles[h_idx])
+            response = self.iop.receive_prover_message(
+                self.response_handles[h_idx])
+            # equality test: sum of q over the systematic domain == r^T b
+            resp_dev = F.from_ints(response)
+            ext_evals = fft_any(resp_dev, self.extended)
+            idx = [self.extended.reindex_by_subgroup(self.H.dim, d)
+                   for d in range(h_ord)]
+            vals = F.to_ints(jnp.take(ext_evals, jnp.asarray(idx), axis=1))
+            lhs = 0
+            for v in vals:
+                lhs = F.add_ints(lhs, int(v))
+            rhs = 0
+            for rj, bj in zip(r, self.target_vector):
+                rhs = F.add_ints(rhs, F.mul_ints(rj, bj))
+            if lhs != rhs:
+                return False
+            # consistency test at each queried column
+            s_cw = _encode_rows(F, self._s_blocks(r), self.H, self.L)
+            for k, pos_h in enumerate(self.position_handles):
+                j = self.iop.obtain_query_position(pos_h)
+                x = self.L.element_by_index_int(j)
+                s_at_j = [int(v) for v in F.to_ints(s_cw[:, :, j])]
+                acc = 0
+                for i in range(self.num_oracles):
+                    uv = self.iop.obtain_query_response(
+                        self.input_queries[k][i])
+                    acc = F.add_ints(acc, F.mul_ints(s_at_j[i], uv))
+                if self.make_zk:
+                    acc = F.add_ints(acc, self.iop.obtain_query_response(
+                        self.blinding_queries[k][h_idx]))
+                if acc != horner_eval_ints(F, response, x):
+                    return False
+        return True
+
+
 class InterleavedRowcheck:
     def __init__(self, iop, codeword_h, systematic_h, extended_h,
                  num_oracles: int, num_queries: int, num_interactions: int,

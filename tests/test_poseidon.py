@@ -121,3 +121,117 @@ def test_derived_round_counts_match_reference_table():
     assert derived_partial_rounds(5, 3, 128, F.p.bit_length()) == 56
     # high-alpha: our bound (33) is at or above the reference's Grobner 29
     assert derived_partial_rounds(17, 3, 128, F.p.bit_length()) >= 29
+
+
+# -- reference known-answer vectors (tests/snark/test_poseidon.cpp:45-119) --
+
+_PERM_EXPECTED = 11513774210489128719203754000419293109474869123660673521809718785157314013443
+_HIGH_ALPHA_EXPECTED = 19745903574422741006139475519330790957027605504238596103618584028691101830733
+_SALT_ELEM_EXPECTED = 29515630589904128245248592656078826240104804215908883401742459362001266426948
+
+
+def _altbn():
+    from libiop_tpu.fields.prime import alt_bn128_fr
+    return alt_bn128_fr()
+
+
+def test_reference_permutation_vector():
+    """PermutationTest (test_poseidon.cpp:45-67): the paper test instance
+    (6 full / 6 partial, alpha=5) squeezed on the empty state."""
+    from libiop_tpu.bcs import poseidon_presets as presets
+    F = _altbn()
+    pp = PoseidonParams.from_preset(F, presets.PAPER_TEST_INSTANCE)
+    sp = AlgebraicSponge(pp)
+    assert sp.squeeze(1)[0] == _PERM_EXPECTED
+    # reset reproduces
+    sp.reset()
+    assert sp.squeeze(1)[0] == _PERM_EXPECTED
+
+
+def test_reference_high_alpha_vector():
+    """PermutationTest part 2: high_alpha_128_bit_altbn_poseidon_params
+    (alpha=17, near-MDS, 8 full + 29 partial) on the empty state."""
+    F = _altbn()
+    pp = PoseidonParams.for_field(F, "poseidon_high_alpha")
+    assert pp.alpha == 17 and pp.full_rounds == 8 and pp.partial_rounds == 29
+    sp = AlgebraicSponge(pp)
+    assert sp.squeeze(1)[0] == _HIGH_ALPHA_EXPECTED
+
+
+def test_reference_leafhash_vectors():
+    """LeafTest (test_poseidon.cpp:69-101): leaf hash of [0], state reset
+    between hashes, zero zk salt, and the pinned salt->field-elem parse."""
+    from libiop_tpu.bcs import poseidon_presets as presets
+    from libiop_tpu.bcs.poseidon import salt_to_field_elem
+    F = _altbn()
+    pp = PoseidonParams.from_preset(F, presets.PAPER_TEST_INSTANCE)
+
+    def leafhash(vals):
+        sp = AlgebraicSponge(pp)
+        sp.absorb(vals)
+        return sp.squeeze(1)[0]
+
+    assert leafhash([0]) == _PERM_EXPECTED
+    assert leafhash([0]) == _PERM_EXPECTED  # fresh state per hash
+    # zk salt of zero bytes appends a zero element -> same digest
+    assert leafhash([0, salt_to_field_elem(b"\x00" * 32, F.p)]) \
+        == _PERM_EXPECTED
+    salt = b"AAAAAAAABBBBBBBBCCCCCCCCDDDDDDDD"
+    assert salt_to_field_elem(salt, F.p) == _SALT_ELEM_EXPECTED % F.p
+
+
+def test_reference_two_to_one_matches_leafhash():
+    """TwoToOneTest (test_poseidon.cpp:103-119): 2-to-1 of (0,0) equals the
+    leaf hash of [0,0] under the starkware (default altbn) instantiation."""
+    F = _altbn()
+    hasher = PoseidonHashing(F, 128, "poseidon")
+    assert hasher.params.alpha == 5
+    assert hasher.params.full_rounds == 8 and hasher.params.partial_rounds == 56
+    zero = b"\x00" * F.elem_bytes
+    left = hasher.leaf_hash(zero + zero)
+    assert hasher.two_to_one(zero, zero) == left
+    assert hasher.two_to_one(zero, zero) == left  # determinism
+
+
+def test_sponge_multi_chunk_absorb_matches_reference_recursion():
+    """absorb of more than `rate` elements permutes between chunks
+    (algebraic_sponge.tcc:32-62): cross-check the chunked path against an
+    explicit replay of the reference recursion."""
+    from libiop_tpu.bcs import poseidon_presets as presets
+    F = _altbn()
+    pp = PoseidonParams.from_preset(F, presets.PAPER_TEST_INSTANCE)
+    vals = [11, 22, 33, 44, 55]
+    sp = AlgebraicSponge(pp)
+    sp.absorb(vals)
+    got = sp.squeeze(2)
+
+    state = [0] * 3
+    state[0] += vals[0]; state[1] += vals[1]
+    state = pp.permute(state)
+    state[0] += vals[2]; state[1] += vals[3]
+    state = pp.permute(state)
+    state[0] += vals[4]
+    state = pp.permute(state)
+    assert got == state[:2]
+
+
+def test_batched_leaf_and_node_hashing_matches_host():
+    """Device-batched Poseidon (BatchedPoseidon) must agree with the
+    host-int sponge on every leaf and on a full tree layer — the TPU hot
+    path vs the reference-semantics reference."""
+    F = _altbn()
+    hasher = PoseidonHashing(F, 128, "poseidon_high_alpha")
+    eb = F.elem_bytes
+    # 96 leaves of 3 elements each (k=3 spans two rate-2 chunks)
+    blocks = [b"".join(((7 * i + j) % F.p).to_bytes(eb, "little")
+                       for j in range(3)) for i in range(96)]
+    got = hasher.leaf_hash_batch(blocks)
+    assert len(got) == 96
+    expect = [hasher.leaf_hash(b) for b in blocks]
+    assert got == expect
+    # a 256-digest tree layer through the batched 2-to-1
+    layer = (expect * 3)[:256]
+    got_layer = hasher.tree_layer(layer)
+    expect_layer = [hasher.two_to_one(layer[2 * i], layer[2 * i + 1])
+                    for i in range(128)]
+    assert got_layer == expect_layer
