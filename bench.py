@@ -29,6 +29,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 _AURORA_CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
+from libiop_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 import numpy as np
 import libiop_tpu.algebra.fft as fftmod
 fftmod._SCAN_THRESHOLD = 1 << {scan_log}  # bound XLA graph size / compile time
@@ -36,7 +38,7 @@ from libiop_tpu.fields.prime import edwards_fr
 from libiop_tpu.relations.examples import generate_r1cs_example
 from libiop_tpu.snark.aurora import (AuroraSnarkParams, aurora_snark_prover,
                                      aurora_snark_verifier)
-from libiop_tpu.utils.profiling import BlockProfiler
+from libiop_tpu.utils.profiling import PROFILER as prof
 
 F = edwards_fr()
 log_n = {log_n}
@@ -46,11 +48,11 @@ cs, primary, aux = generate_r1cs_example(F, n, 15, n - 1,
 params = AuroraSnarkParams(security_parameter=128, RS_extra_dimensions=2,
                            fri_localization_parameter=2, make_zk=False,
                            pow_bits=20)
-prof = BlockProfiler()
 with prof.block("warmup_proof"):
     # first proof pays all remote compiles; persistently cached after
     proof = aurora_snark_prover(cs, primary, aux, params)
 blob = proof.serialize()
+prof.records.clear()  # keep only the measured proof's phase tree
 t0 = time.time()
 with prof.block("aurora_prove"):
     proof = aurora_snark_prover(cs, primary, aux, params)
@@ -67,6 +69,8 @@ print(json.dumps({{"prover_s": dt, "verifier_s": t_verify,
 _NTT_CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
+from libiop_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 import jax
 import libiop_tpu.algebra.fft as fftmod
 from libiop_tpu.fields.prime import edwards_fr
@@ -79,14 +83,19 @@ dom = MultiplicativeCoset(F, dim, shift=F.multiplicative_generator)
 dom.generator_powers(); dom.shift_powers()  # host twiddle caches
 coeffs = F.random((N,), np.random.default_rng(7))
 fftmod._SCAN_THRESHOLD = 1  # O(1)-graph path: smallest compile
-ntt = jax.jit(lambda c: fftmod.fft(c, dom))
+CHAIN = 8  # chain NTTs inside ONE graph: excludes tunnel dispatch latency
+def chained(c):
+    for _ in range(CHAIN):
+        c = fftmod.fft(c, dom)
+    return c
+ntt = jax.jit(chained)
 ntt(coeffs).block_until_ready()
 runs = 5
 t0 = time.time()
 for _ in range(runs):
     out = ntt(coeffs)
 out.block_until_ready()
-dt = (time.time() - t0) / runs
+dt = (time.time() - t0) / (runs * CHAIN)
 print(json.dumps({{"dt": dt}}))
 """
 
@@ -169,6 +178,21 @@ def bench_mul(dim=20) -> dict:
 
 
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--sweep":
+        # measurement mode for BASELINE.md: aurora prover at each log_n
+        for log_n in [int(a) for a in sys.argv[2:]]:
+            try:
+                primary, res = bench_aurora(
+                    log_n=log_n, scan_log=min(log_n, 14),
+                    budget_s=3000)
+                print(json.dumps({**primary,
+                                  "verifier_s": round(res["verifier_s"], 3),
+                                  "argument_bytes": res["argument_bytes"],
+                                  "profile": res.get("profile")}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"log_n": log_n, "error": str(e)[-300:]}),
+                      flush=True)
+        return
     details = {}
     primary = None
     try:

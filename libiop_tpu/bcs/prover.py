@@ -60,11 +60,14 @@ class BCSProver(IOPProtocol):
                 mt = MerkleTree.from_nodes(
                     self.hasher, len(blocks), nodes)
             else:
+                from ..utils.profiling import PROFILER
                 evals = [self.oracle_evals[i] for i in oracle_ids]
                 make_zk = any(self.oracle_regs[i].make_zk for i in oracle_ids)
-                blocks = serialize_leaf_blocks(
-                    self.F, evals, dom, rp.quotient_map_size)
-                mt = MerkleTree(self.hasher, blocks, make_zk=make_zk)
+                with PROFILER.block(f"leaf_serialize_r{rnd}_d{dom_id}"):
+                    blocks = serialize_leaf_blocks(
+                        self.F, evals, dom, rp.quotient_map_size)
+                with PROFILER.block(f"merkle_hash_r{rnd}_d{dom_id}"):
+                    mt = MerkleTree(self.hasher, blocks, make_zk=make_zk)
             self.merkle_trees[(rnd, dom_id)] = mt
             self.mt_oracle_ids[(rnd, dom_id)] = oracle_ids
             self.mt_leaf_blocks[(rnd, dom_id)] = blocks
@@ -121,6 +124,11 @@ class BCSProver(IOPProtocol):
         return needed
 
     def get_transcript(self) -> BCSTranscript:
+        from ..utils.profiling import PROFILER
+        with PROFILER.block("transcript_assembly"):
+            return self._get_transcript_inner()
+
+    def _get_transcript_inner(self) -> BCSTranscript:
         self.finalize_query_positions()
         t = BCSTranscript()
         t.elem_bytes = self.F.elem_bytes

@@ -144,7 +144,7 @@ def main():
                          "(inferred from --field_size when omitted)")
     ap.add_argument("--make_zk", type=int, default=0)
     ap.add_argument("--hash_enum", default="blake2b",
-                    choices=["blake2b", "poseidon"])
+                    choices=["blake2b", "poseidon", "poseidon_high_alpha"])
     ap.add_argument("--rs_extra_dimensions", type=int, default=3)
     ap.add_argument("--localization_parameter", type=int, default=2)
     ap.add_argument("--height_width_ratio", type=float, default=1.0)
@@ -160,6 +160,8 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from ..fields.prime import edwards_fr, alt_bn128_fr
     from ..fields import binary

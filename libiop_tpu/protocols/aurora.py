@@ -156,12 +156,18 @@ class AuroraIOP:
         self.ldt_reducer.register_queries()
 
     def produce_proof(self, primary: List[int], auxiliary: List[int]):
-        self.protocol.submit_witness_oracles(primary, auxiliary)
-        self.ldt_reducer.submit_masking_polynomial()
-        self.iop.signal_prover_round_done()
-        self.protocol.calculate_and_submit_proof()
-        self.iop.signal_prover_round_done()
-        self.ldt_reducer.calculate_and_submit_proof()
+        from ..utils.profiling import PROFILER
+        with PROFILER.block("witness_encode"):
+            self.protocol.submit_witness_oracles(primary, auxiliary)
+            self.ldt_reducer.submit_masking_polynomial()
+        with PROFILER.block("round1_commit"):
+            self.iop.signal_prover_round_done()
+        with PROFILER.block("sumcheck_lincheck"):
+            self.protocol.calculate_and_submit_proof()
+        with PROFILER.block("round2_commit"):
+            self.iop.signal_prover_round_done()
+        with PROFILER.block("fri_ldt"):
+            self.ldt_reducer.calculate_and_submit_proof()
 
     def verifier_predicate(self, primary: List[int]) -> bool:
         self.protocol.construct_verifier_state(primary)

@@ -391,18 +391,22 @@ class FRIProtocol:
         base_evals = [self.iop.get_oracle_evaluations(h) for h in self.poly_handles]
         per_interaction = [list(base_evals) for _ in range(ni)]
         fold = fold_codeword_additive if self.additive else fold_codeword
+        from ..utils.profiling import PROFILER
         for i in range(self.num_reductions):
             if i > 0:
+                with PROFILER.block(f"fri_round{i}_commit"):
+                    for j in range(ni):
+                        for ldt, ev in enumerate(per_interaction[j]):
+                            self.iop.submit_oracle(
+                                self.oracle_handles[i][j][ldt], ev)
+                    self.iop.signal_prover_round_done()
+            with PROFILER.block(f"fri_round{i}_fold"):
                 for j in range(ni):
-                    for ldt, ev in enumerate(per_interaction[j]):
-                        self.iop.submit_oracle(self.oracle_handles[i][j][ldt], ev)
-                self.iop.signal_prover_round_done()
-            for j in range(ni):
-                x_i = self.iop.obtain_verifier_random_message(
-                    self.challenge_handles[i][j])[0]
-                per_interaction[j] = [
-                    fold(F, ev, self.domains[i], etas[i], x_i)
-                    for ev in per_interaction[j]]
+                    x_i = self.iop.obtain_verifier_random_message(
+                        self.challenge_handles[i][j])[0]
+                    per_interaction[j] = [
+                        fold(F, ev, self.domains[i], etas[i], x_i)
+                        for ev in per_interaction[j]]
         final_domain = self.domains[self.num_reductions]
         for j in range(ni):
             for ldt, ev in enumerate(per_interaction[j]):

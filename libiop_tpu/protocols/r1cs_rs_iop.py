@@ -228,46 +228,76 @@ class EncodedAurora:
             self.multi_lincheck.register_proof()
 
     # -- proving -----------------------------------------------------------
+    def _encode_fn(self):
+        """ONE jitted function computing all four witness codewords — eager
+        per-op dispatch is catastrophic under remote-TPU latency (measured
+        276s -> one dispatch at 2^14).  Cached on the R1CS instance (matrices
+        ride along as trace constants; XLA's persistent cache dedupes the
+        compile across prover instances)."""
+        import jax
+        F = self.F
+        k = self.r1cs.num_inputs
+        n = self.variable_domain.order
+        b = self.params.query_bound
+        make_zk = self.params.make_zk
+        key = ("encode", self.L.order, n, self.constraint_domain.order,
+               make_zk, b)
+        cache = getattr(self.r1cs, "_encode_jit_cache", None)
+        if cache is None:
+            cache = self.r1cs._encode_jit_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+        aux_positions = jnp.asarray(self.var_reindex[k + 1:])
+        A, B, C = self.r1cs.matrices()
+        input_domain, variable_domain = self.input_domain, self.variable_domain
+        constraint_domain, L = self.constraint_domain, self.L
+
+        def encode(f1_in, aux_mont, z, masks):
+            # f_{1,v}: interpolate (1, primary) over the input domain
+            f1v_coeffs = ifft_any(f1_in, input_domain)
+            f1v_vd = fft_any(f1v_coeffs, variable_domain)
+            # fw' over the variable domain: aux - f1v at witness slots
+            fw_prime = jnp.zeros((F.L, n), dtype=jnp.uint32)
+            fw_prime = fw_prime.at[:, aux_positions].set(
+                F.sub(aux_mont, f1v_vd[:, aux_positions]))
+            fw_coeffs = ifft_any(fw_prime, variable_domain)
+            if make_zk:
+                # += Z_var * R_w, R_w random of degree < b
+                zr = mul_by_vanishing_any(masks[0], variable_domain)
+                fw_coeffs = zr.at[:, :n].set(F.add(zr[:, :n], fw_coeffs))
+            quotient, _rem = divide_by_vanishing_any(fw_coeffs, input_domain)
+            fw_cw = fft_any(quotient, L) if quotient.shape[1] else \
+                jnp.zeros((F.L, L.order), dtype=jnp.uint32)
+            outs = [fw_cw]
+            for idx, M in enumerate([A, B, C]):
+                coeffs = ifft_any(M.matvec(z), constraint_domain)
+                if make_zk:
+                    m_ord = constraint_domain.order
+                    zr = mul_by_vanishing_any(masks[1 + idx], constraint_domain)
+                    coeffs = zr.at[:, :m_ord].set(F.add(zr[:, :m_ord], coeffs))
+                outs.append(fft_any(coeffs, L))
+            return tuple(outs)
+
+        fn = cache[key] = jax.jit(encode)
+        return fn
+
     def submit_witness_oracles(self, primary: List[int], auxiliary: List[int]):
         F = self.F
         self.fz_oracle.set_primary_input(primary)
         self.multi_lincheck.submit_sumcheck_masking_polynomials()
-        k = self.r1cs.num_inputs
-        n = self.variable_domain.order
         b = self.params.query_bound
-        # f_{1,v}: interpolate (1, primary) over the input domain
-        f1v_coeffs = ifft_any(F.from_ints([1] + list(primary)), self.input_domain)
-        f1v_vd = fft_any(f1v_coeffs, self.variable_domain)
-        # fw' evals over the variable domain: aux - f1v at witness slots, 0 at inputs
-        aux_positions = jnp.asarray(self.var_reindex[k + 1:])
+        f1_in = F.from_ints([1] + list(primary))
         aux_mont = F.from_ints(list(auxiliary))
-        fw_prime = jnp.zeros((F.L, n), dtype=jnp.uint32)
-        fw_prime = fw_prime.at[:, aux_positions].set(
-            F.sub(aux_mont, f1v_vd[:, aux_positions]))
-        fw_coeffs = ifft_any(fw_prime, self.variable_domain)
-        if self.params.make_zk:
-            # += Z_var * R_w, R_w random of degree < b
-            mask = F.random((max(b, 1),), self.rng)
-            zr = mul_by_vanishing_any(mask, self.variable_domain)  # (L, n + b)
-            ext = zr.at[:, :n].set(F.add(zr[:, :n], fw_coeffs))
-            fw_coeffs = ext
-        quotient, _rem = divide_by_vanishing_any(fw_coeffs, self.input_domain)
-        fw_cw = fft_any(quotient, self.L) if quotient.shape[1] else \
-            jnp.zeros((F.L, self.L.order), dtype=jnp.uint32)
-        # f_Mz: sparse matvec over the constraint domain -> LDE to codeword
         z = self.r1cs.full_assignment(primary, auxiliary)
-        A, B, C = self.r1cs.matrices()
-        out_handles = [self.fAz_handle, self.fBz_handle, self.fCz_handle]
+        masks = tuple(F.random((max(b, 1),), self.rng)
+                      for _ in range(4)) if self.params.make_zk else ()
+        fw_cw, az_cw, bz_cw, cz_cw = self._encode_fn()(
+            f1_in, aux_mont, z, masks)
         self.iop.submit_oracle(self.fw_handle, fw_cw)
-        for M, handle in zip([A, B, C], out_handles):
-            Mz = M.matvec(z)
-            coeffs = ifft_any(Mz, self.constraint_domain)
-            if self.params.make_zk:
-                maskM = F.random((max(b, 1),), self.rng)
-                m_ord = self.constraint_domain.order
-                zr = mul_by_vanishing_any(maskM, self.constraint_domain)
-                coeffs = zr.at[:, :m_ord].set(F.add(zr[:, :m_ord], coeffs))
-            self.iop.submit_oracle(handle, fft_any(coeffs, self.L))
+        self.iop.submit_oracle(self.fAz_handle, az_cw)
+        self.iop.submit_oracle(self.fBz_handle, bz_cw)
+        self.iop.submit_oracle(self.fCz_handle, cz_cw)
 
     def calculate_and_submit_proof(self):
         if self.params.holographic:

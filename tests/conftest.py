@@ -19,6 +19,11 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent on-disk XLA compile cache: the suite traces hundreds of small
+# prover graphs; cache them once across all test processes/runs.
+from libiop_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
 import numpy as np
 import pytest
 
