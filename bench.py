@@ -32,6 +32,13 @@ sys.path.insert(0, {repo!r})
 from libiop_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 import numpy as np
+import jax, jax.numpy as jnp
+# Warm the tunnel's device->host transfer channel before anything else: the
+# FIRST d2h in a process stalls for tens of seconds to minutes (one-time
+# channel setup in the remote-TPU service); pay it here, not mid-proof.
+_w = jax.jit(lambda x: x + 1)(jnp.ones((8,), jnp.uint32))
+_t0 = time.time(); jax.device_get(_w)
+print(json.dumps({{"warm_transfer_s": time.time() - _t0}}), file=sys.stderr)
 import libiop_tpu.algebra.fft as fftmod
 fftmod._SCAN_THRESHOLD = 1 << {scan_log}  # bound XLA graph size / compile time
 from libiop_tpu.fields.prime import edwards_fr
@@ -113,18 +120,30 @@ print(json.dumps({{"dt": dt, "n": len(blocks)}}))
 """
 
 
-def _run_child(code: str, budget_s: int) -> dict:
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         timeout=budget_s, text=True)
-    if out.returncode != 0:
-        raise RuntimeError(out.stderr[-800:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+def _run_child(code: str, budget_s: int, attempts: int = 1) -> dict:
+    """Run a bench stage in a subprocess; retry on failure — the remote-TPU
+    service intermittently returns UNAVAILABLE / topology errors and the
+    persistent compile cache makes retries cheap."""
+    last = None
+    for _ in range(attempts):
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, timeout=budget_s,
+                                 text=True)
+        except subprocess.TimeoutExpired as e:
+            last = RuntimeError(f"timeout after {budget_s}s")
+            continue
+        if out.returncode != 0:
+            last = RuntimeError(out.stderr[-800:])
+            continue
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    raise last
 
 
-def bench_aurora(log_n=14, scan_log=14, budget_s=1500) -> tuple:
+def bench_aurora(log_n=14, scan_log=14, budget_s=2400) -> tuple:
     res = _run_child(
         _AURORA_CHILD.format(repo=REPO, log_n=log_n, scan_log=scan_log),
-        budget_s)
+        budget_s, attempts=2)
     # reference anchor: ~120 s at 2^20 single core, O(N log N) scaling
     ref = 120.0 * ((1 << log_n) * log_n) / ((1 << 20) * 20)
     primary = {
@@ -136,8 +155,9 @@ def bench_aurora(log_n=14, scan_log=14, budget_s=1500) -> tuple:
     return primary, res
 
 
-def bench_ntt(dim=16, budget_s=400) -> dict:
-    res = _run_child(_NTT_CHILD.format(repo=REPO, dim=dim), budget_s)
+def bench_ntt(dim=16, budget_s=600) -> dict:
+    res = _run_child(_NTT_CHILD.format(repo=REPO, dim=dim), budget_s,
+                     attempts=2)
     N = 1 << dim
     rate = (N // 2) * dim / res["dt"]
     return {

@@ -32,6 +32,12 @@ import jax
 import jax.numpy as jnp
 
 
+#: "parallel" (CLMUL-emulation, big graph, fast runtime — the TPU production
+#: path) or "scan" (k-step lax.scan, O(1) graph — cheap XLA-CPU compiles for
+#: the test suite).  Results are bit-identical; see BinaryField.mul.
+_MUL_MODE = "parallel"
+
+
 def _int_to_words(x: int, W: int) -> np.ndarray:
     out = np.zeros(W, dtype=np.uint32)
     for i in range(W):
@@ -237,12 +243,22 @@ class BinaryField:
         return [h & jnp.uint32(0x1111 << m) for m in range(4)]
 
     def mul(self, a, b):
-        """Carry-less product + reduction, fully parallel (no scan): the k-bit
-        operands are split into 16-bit halves; all half-pair products are
-        computed by the integer-multiply CLMUL emulation and XOR-folded into
-        the 2W-word accumulator.  O((k/16)^2) independent elementwise ops that
-        XLA fuses into one VPU kernel — replaces the k-step sequential scan
-        (~8x faster compiled, and exposes full lane parallelism)."""
+        """Carry-less product + reduction.  Two trace modes (identical math,
+        bit-identical results):
+
+        * "parallel" (default, the TPU production path): the k-bit operands
+          are split into 16-bit halves; all half-pair products are computed by
+          the integer-multiply CLMUL emulation and XOR-folded into the 2W-word
+          accumulator.  O((k/16)^2) independent elementwise ops that XLA fuses
+          into one VPU kernel — ~8x faster compiled than the scan.
+        * "scan": the classic k-step shift-and-xor as one lax.scan — O(1)
+          graph size.  The parallel path inlines hundreds of ops per mul,
+          which makes XLA-CPU's LLVM compiles of large fused prover graphs
+          take minutes on small hosts; the test suite selects this mode
+          (tests/conftest.py) and test_binary_fields.py pins scan==parallel.
+        """
+        if _MUL_MODE == "scan":
+            return self._mul_scan(a, b)
         W = self.W
         H = 2 * W  # number of 16-bit halves
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
@@ -275,6 +291,29 @@ class BinaryField:
                 t = t ^ (g[2 * m + 1] << 16)
             words.append(t)
         return self._reduce(jnp.stack(words))
+
+    def _mul_scan(self, a, b):
+        """Bit-serial carry-less multiply as one lax.scan over the k bits of
+        ``a``: step s XORs (bit_s(a) ? b * x^s : 0) into the 2W-word
+        accumulator, carrying b * x^s by one left shift per step.  O(W) ops
+        per step, O(1) traced graph."""
+        W = self.W
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (W,) + batch).astype(jnp.uint32)
+        b = jnp.broadcast_to(b, (W,) + batch).astype(jnp.uint32)
+        acc0 = jnp.zeros((2 * W,) + batch, dtype=jnp.uint32)
+        b_ext = jnp.concatenate([b, jnp.zeros_like(b)], axis=0)
+
+        def body(carry, s):
+            acc, bs = carry
+            word = jnp.take(a, s >> 5, axis=0)           # (batch,)
+            bit = (word >> (s & 31).astype(jnp.uint32)) & jnp.uint32(1)
+            acc = acc ^ (bs * bit[None, ...])
+            return (acc, self._shift_left_1(bs)), None
+
+        steps = jnp.arange(self.k, dtype=jnp.uint32)
+        (acc, _), _ = jax.lax.scan(body, (acc0, b_ext), steps)
+        return self._reduce(acc)
 
     def square(self, a):
         """Bit-spreading: interleave zeros between coefficients."""

@@ -21,10 +21,31 @@ _DEFAULT_DIR = os.path.join(
 
 def enable_compile_cache(cache_dir: str | None = None) -> str:
     """Point jax's persistent compilation cache at `cache_dir` (default:
-    <repo>/.jax_cache).  Safe to call multiple times / before any jax op."""
+    ~/.cache/libiop_tpu_jax/<platform>-<ndev>-<jaxver>).  Safe to call
+    multiple times / before any jax op.
+
+    The directory is partitioned by (platform, device count, jax version):
+    executables serialized for one backend topology can crash (SIGSEGV in the
+    deserializer) when loaded under another, and a shared flat directory lets
+    a killed writer corrupt entries other configurations then read.
+    """
     import jax
 
-    path = cache_dir or os.environ.get("LIBIOP_TPU_JAX_CACHE", _DEFAULT_DIR)
+    base = cache_dir or os.environ.get("LIBIOP_TPU_JAX_CACHE", _DEFAULT_DIR)
+    try:
+        plat = jax.default_backend()
+        ndev = jax.device_count()
+    except Exception:  # backend not initializable yet; fall back to env hints
+        plat = os.environ.get("JAX_PLATFORMS", "auto").split(",")[0] or "auto"
+        ndev = 0
+    if plat == "cpu" and os.environ.get("LIBIOP_TPU_FORCE_CACHE") != "1":
+        # This jaxlib's executable (de)serialization SIGSEGVs intermittently
+        # on the host-CPU backend (observed in both put_executable_and_time
+        # and get_executable_and_time under --xla_force_host_platform_
+        # device_count=8).  CPU compiles are seconds; the cache only pays for
+        # itself against the 30-500s remote-TPU compile service, so skip it.
+        return ""
+    path = os.path.join(base, f"{plat}-{ndev}-{jax.__version__}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache even fast compiles: the prover traces hundreds of small graphs

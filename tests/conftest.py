@@ -19,10 +19,25 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent on-disk XLA compile cache: the suite traces hundreds of small
-# prover graphs; cache them once across all test processes/runs.
+# Persistent on-disk XLA compile cache: no-op on the CPU backend (this
+# jaxlib's executable (de)serialization segfaults there — see
+# utils/compile_cache.py), kept for any non-CPU test runs.
 from libiop_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 enable_compile_cache()
+
+# O(1)-graph scan butterflies for every NTT in the suite: the unrolled path
+# inlined into the collapsed prover-phase graphs makes XLA-CPU (LLVM)
+# compiles take minutes per graph on small hosts.  The scan/unrolled paths
+# compute bit-identical results; test_fft.py pins the unrolled path
+# explicitly so both stay covered.
+import libiop_tpu.algebra.fft as _fftmod  # noqa: E402
+_fftmod._SCAN_THRESHOLD = 1 << 6
+
+# Same reasoning for binary-field multiplies: the parallel CLMUL-emulation
+# inlines ~(k/16)^2 ops per mul; the k-step scan keeps prover-phase graphs
+# small.  Bit-identical results (pinned by test_binary_fields.py).
+import libiop_tpu.fields.binary as _binmod  # noqa: E402
+_binmod._MUL_MODE = "scan"
 
 import numpy as np
 import pytest

@@ -109,3 +109,30 @@ def test_additive_fri_early_stop_rejected():
     """Degree exactly one coset too high must fail the final-poly check
     (test_fri.cpp EarlyStop variant, additive half)."""
     assert not _run_fri([1, 2], "early_stop")
+
+
+def _random_localization_vector(rng, total: int):
+    """random_vector_that_sums_to role (test_fri.cpp:243-280)."""
+    parts = []
+    remaining = total
+    while remaining > 0:
+        v = int(rng.integers(1, min(remaining, 3) + 1))
+        parts.append(v)
+        remaining -= v
+    return [1] + parts
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_additive_fri_random_localization_accepts(seed):
+    """FRITrueRandomTest (test_fri.cpp:243-258), additive half."""
+    rng = np.random.default_rng(seed)
+    etas = _random_localization_vector(rng, DIM - RS_EXTRA - 1)
+    assert _run_fri(etas, "true", seed=seed)
+
+
+@pytest.mark.parametrize("seed", [2, 3])
+def test_additive_fri_random_localization_rejects(seed):
+    """FRIFalseRandomTest (test_fri.cpp:260-280), additive half."""
+    rng = np.random.default_rng(seed)
+    etas = _random_localization_vector(rng, DIM - RS_EXTRA - 1)
+    assert not _run_fri(etas, "random", seed=seed)

@@ -63,3 +63,24 @@ def test_square_inv(field_fn, rng):
     prod = [int(v) for v in F.to_ints(F.mul(a, inv))]
     assert prod == [1] * len(xs)
     assert [F.mul_ints(x, F.inv_int(x)) for x in xs] == [1] * len(xs)
+
+
+@pytest.mark.parametrize("field_fn", [gf64, gf128, gf192, gf256])
+def test_mul_scan_matches_parallel(field_fn, rng):
+    """The two mul trace modes (parallel CLMUL emulation vs k-step scan) must
+    be bit-identical — the suite runs in scan mode (conftest) while the TPU
+    production path is parallel."""
+    import libiop_tpu.fields.binary as binmod
+    F = field_fn()
+    xs, ys = _rand(rng, F, 8), _rand(rng, F, 8)
+    a, b = F.from_ints(xs), F.from_ints(ys)
+    saved = binmod._MUL_MODE
+    try:
+        binmod._MUL_MODE = "parallel"
+        par = [int(v) for v in F.to_ints(F.mul(a, b))]
+        binmod._MUL_MODE = "scan"
+        sc = [int(v) for v in F.to_ints(F.mul(a, b))]
+    finally:
+        binmod._MUL_MODE = saved
+    assert par == sc
+    assert par == [F.mul_ints(x, y) for x, y in zip(xs, ys)]

@@ -108,6 +108,45 @@ def test_batched_fold_high_eta(eta):
             F, coset_vals, shift, eta, x), j
 
 
+def _random_localization_vector(rng, total: int):
+    """random_vector_that_sums_to role (test_fri.cpp:243-280): a random
+    composition of `total` into parts >= 1, prefixed by the mandatory 1."""
+    parts = []
+    remaining = total
+    while remaining > 0:
+        v = int(rng.integers(1, min(remaining, 3) + 1))
+        parts.append(v)
+        remaining -= v
+    return [1] + parts
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fri_random_localization_accepts(seed):
+    """FRITrueRandomTest (test_fri.cpp:243-258), multiplicative."""
+    rng = np.random.default_rng(seed)
+    F = edwards_fr()
+    dim, rs_extra = 8, 2
+    localization = _random_localization_vector(rng, dim - rs_extra - 1)
+    degree_bound = 1 << (dim - rs_extra)
+    L = MultiplicativeCoset(F, dim=dim, shift=F.multiplicative_generator)
+    coeffs = F.from_ints(F.random_ints(degree_bound, rng))
+    fri = _run_fri(fft(coeffs, L), degree_bound, dim, localization, seed=seed)
+    assert fri.verifier_predicate()
+
+
+@pytest.mark.parametrize("seed", [2, 3])
+def test_fri_random_localization_rejects(seed):
+    """FRIFalseRandomTest (test_fri.cpp:260-280), multiplicative."""
+    rng = np.random.default_rng(seed)
+    F = edwards_fr()
+    dim, rs_extra = 8, 2
+    localization = _random_localization_vector(rng, dim - rs_extra - 1)
+    degree_bound = 1 << (dim - rs_extra)
+    codeword = F.random((1 << dim,), rng)
+    fri = _run_fri(codeword, degree_bound, dim, localization, seed=seed)
+    assert not fri.verifier_predicate()
+
+
 def test_fri_early_stop_rejected(rng):
     """Multiplicative EarlyStop variant (test_fri.cpp:107-260): a codeword of
     degree one final-coset too high passes every fold consistency check but
