@@ -120,19 +120,52 @@ def divide_by_vanishing(coeffs, H: MultiplicativeCoset):
             [coeffs, jnp.zeros((F.L, nb * h - d), dtype=jnp.uint32)], axis=1)
     blocks = coeffs.reshape(F.L, nb, h)
     a = pow(H.shift, h, F.p)
-    a_l = F.from_ints([a]).reshape(F.L, 1)
-    # remainder = sum_j a^j B_j
-    rem = blocks[:, 0, :]
-    apow = a_l
+    # a is a HOST int, so its power tables are host-computed; both the
+    # remainder and the quotient then collapse to O(1)-graph batched ops
+    # (one mul + lazy-limb sums) instead of nb-step Python loops — the
+    # unrolled recurrences made the witness-encode graph O(d/h) ops and
+    # dominated XLA compile time (238k-line MLIR at 2^10).
+    #   Q_t = B_{t+1} + a Q_{t+1}  =>  Q_t = a^{-t-1} * S_{t+1},
+    #   S_t := sum_{s>=t} a^s B_s;  remainder = S_0.
+    a_pows = [1] * nb
     for j in range(1, nb):
-        rem = F.add(rem, F.mul(blocks[:, j, :], apow))
-        apow = F.mul(apow, a_l)
-    # quotient blocks, descending
-    q_blocks = [None] * (nb - 1)
-    q_blocks[nb - 2] = blocks[:, nb - 1, :]
-    for t in range(nb - 3, -1, -1):
-        q_blocks[t] = F.add(blocks[:, t + 1, :], F.mul(q_blocks[t + 1], a_l))
-    quotient = jnp.concatenate(q_blocks, axis=1)
+        a_pows[j] = F.mul_ints(a_pows[j - 1], a)
+    apow_col = jnp.asarray(F.from_ints_np(a_pows)).reshape(F.L, nb, 1)
+    weighted = F.mul(blocks, apow_col)                 # C_j = a^j B_j
+    # suffix sums over j with lazy 16-bit limbs: canonical limbs < 2^16, so
+    # chunks of <= 2^11 terms keep columns < 2^27 (mont_reduce_wide's cap);
+    # a second pass combines the <= nb/2^11 chunk carries.
+    c = min(nb, 1 << 11)
+    nc = -(-nb // c)
+    w = weighted.astype(jnp.uint32)
+    if nc * c != nb:
+        w = jnp.concatenate(
+            [w, jnp.zeros((F.L, nc * c - nb, h), jnp.uint32)], axis=1)
+    w = w.reshape(F.L, nc, c, h)
+    inner = jnp.flip(jnp.cumsum(jnp.flip(w, axis=2), axis=2,
+                                dtype=jnp.uint32), axis=2)
+    inner = F.lazy_sum_reduce(inner)                   # (L, nc, c, h) canonical
+    if nc > 1:
+        totals = inner[:, :, 0, :]                     # per-chunk full sums
+        carry = jnp.flip(jnp.cumsum(
+            jnp.flip(totals.astype(jnp.uint32), axis=1), axis=1,
+            dtype=jnp.uint32), axis=1)                 # suffix incl. own chunk
+        # exclusive carry: drop own chunk, zero for the last chunk
+        carry = jnp.concatenate(
+            [carry[:, 1:, :], jnp.zeros((F.L, 1, h), jnp.uint32)], axis=1)
+        carry = F.lazy_sum_reduce(carry)               # (L, nc, h) canonical
+        S = F.add(inner, carry[:, :, None, :])
+    else:
+        S = inner
+    S = S.reshape(F.L, nc * c, h)[:, :nb, :]           # S_t for all t
+    rem = S[:, 0, :]
+    ainv = F.inv_int(a)
+    ainv_pows = [ainv] * (nb - 1)
+    for t in range(1, nb - 1):
+        ainv_pows[t] = F.mul_ints(ainv_pows[t - 1], ainv)
+    ainv_col = jnp.asarray(F.from_ints_np(ainv_pows)).reshape(F.L, nb - 1, 1)
+    q_blocks = F.mul(S[:, 1:, :], ainv_col)            # (L, nb-1, h)
+    quotient = q_blocks.reshape(F.L, (nb - 1) * h)
     return quotient[:, :d - h], rem
 
 

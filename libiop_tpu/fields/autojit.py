@@ -1,0 +1,74 @@
+"""Auto-jit for eager field-method calls.
+
+The prover's hot phases run as a handful of consolidated jitted graphs, but
+host orchestration (transcript assembly, query replay, small per-round glue)
+still calls field methods eagerly.  Eagerly, every jnp primitive inside a
+method like :meth:`PrimeField.mul` (~60 pads/multiplies/shifts for L=12)
+dispatches as its OWN tiny XLA computation, compiled once per distinct shape
+— a dim-4 Aurora prove was measured at 373 XLA compilations, ~240 s of its
+309 s wall on a 2-core host, and each graph is a 30-500 s round-trip through
+the axon remote-TPU compile service.
+
+This decorator makes every *eager* call (no tracer arguments) route through a
+cached ``jax.jit`` of the whole method, keyed by (field, method, static args,
+array shapes/dtypes): one compilation per method/shape ever, reused across
+call sites, rounds, and prover instances.  Traced calls (already inside a
+jitted phase) inline exactly as before — zero behavior change under jit.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_CACHE: dict = {}
+
+
+def _field_key(self) -> tuple:
+    # fields with identical parameters are functionally identical, so key by
+    # value (not id): cache entries survive field-object re-creation in tests
+    return (type(self).__name__, getattr(self, "name", None),
+            getattr(self, "p", None), getattr(self, "k", None))
+
+
+def autojit(method):
+    """Wrap a field arithmetic method: eager calls go through a cached jit.
+
+    Array arguments (anything with .shape/.dtype or list/tuple thereof are
+    NOT supported — only plain arrays) are traced; everything else (ints,
+    bools) is treated as static and baked into the cache key.
+    """
+    name = method.__name__
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        if kwargs or any(isinstance(a, jax.core.Tracer) for a in args):
+            return method(self, *args, **kwargs)
+        arr_idx = tuple(i for i, a in enumerate(args)
+                        if hasattr(a, "shape") and hasattr(a, "dtype"))
+        if not arr_idx:
+            return method(self, *args)
+        arrs = [jnp.asarray(args[i]) for i in arr_idx]
+        try:
+            static = tuple(args[i] for i in range(len(args))
+                           if i not in arr_idx)
+            key = (_field_key(self), name, static,
+                   tuple((a.shape, a.dtype.name) for a in arrs))
+            hash(key)
+        except TypeError:  # unhashable static arg: fall back to eager
+            return method(self, *args)
+        fn = _CACHE.get(key)
+        if fn is None:
+            outer_args = args
+
+            def call(*arr_args):
+                full = list(outer_args)
+                for j, i in enumerate(arr_idx):
+                    full[i] = arr_args[j]
+                return method(self, *full)
+
+            fn = _CACHE[key] = jax.jit(call)
+        return fn(*arrs)
+
+    return wrapper

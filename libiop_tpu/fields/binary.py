@@ -31,6 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .autojit import autojit
+
 
 #: "parallel" (CLMUL-emulation, big graph, fast runtime — the TPU production
 #: path) or "scan" (k-step lax.scan, O(1) graph — cheap XLA-CPU compiles for
@@ -242,6 +244,7 @@ class BinaryField:
         """Split a 16-bit-valued array into its four 4-spaced bit planes."""
         return [h & jnp.uint32(0x1111 << m) for m in range(4)]
 
+    @autojit
     def mul(self, a, b):
         """Carry-less product + reduction.  Two trace modes (identical math,
         bit-identical results):
@@ -315,6 +318,7 @@ class BinaryField:
         (acc, _), _ = jax.lax.scan(body, (acc0, b_ext), steps)
         return self._reduce(acc)
 
+    @autojit
     def square(self, a):
         """Bit-spreading: interleave zeros between coefficients."""
         W = self.W
@@ -335,10 +339,12 @@ class BinaryField:
         x = (x | (x << 1)) & jnp.uint32(0x55555555)
         return x
 
+    @autojit
     def mul_scalar(self, a, s):
         s = s.reshape((self.W,) + (1,) * (a.ndim - 1))
         return self.mul(a, s)
 
+    @autojit
     def segment_reduce(self, prod, seg_ids, num_segments: int):
         """XOR segment-reduce: prod (W, nnz) -> (W, num_segments).  TPU has
         no XOR segment primitive, so decompose into bit planes, integer
@@ -353,6 +359,7 @@ class BinaryField:
         weights = (jnp.uint32(1) << shifts).reshape(1, 32, 1)
         return jnp.sum(parity * weights, axis=1).astype(jnp.uint32)
 
+    @autojit
     def pow_static(self, a, e: int):
         if e == 0:
             return self.ones(a.shape[1:])
@@ -378,6 +385,7 @@ class BinaryField:
         out, _ = jax.lax.scan(body, a, None, length=m)
         return out
 
+    @autojit
     def inv(self, a):
         """Itoh–Tsujii inversion: a^(2^k-2) = (a^(2^(k-1)-1))^2 computed with
         ~log2(k)+popcount(k-1) multiplications (each mul is the expensive
@@ -397,12 +405,15 @@ class BinaryField:
         return self.square(result)
 
     # -- predicates / misc -------------------------------------------------
+    @autojit
     def is_zero(self, a):
         return jnp.all(a == 0, axis=0)
 
+    @autojit
     def eq(self, a, b):
         return jnp.all(a == b, axis=0)
 
+    @autojit
     def select(self, pred, a, b):
         return jnp.where(pred[None, ...], a, b)
 

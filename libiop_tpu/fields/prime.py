@@ -23,14 +23,27 @@ SURVEY.md §2.1); ``power`` (libff) -> :meth:`PrimeField.pow_static`;
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .autojit import autojit
+
 LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
+
+#: compile-light mode: express the Montgomery-mul limb loops as lax.scan
+#: instead of unrolling them.  The arithmetic is IDENTICAL (same uint32
+#: partial products and carries, so outputs are bit-identical); only the
+#: graph shape changes: ~30 HLO ops per mul instead of ~200.  Used where
+#: XLA *compile time* dominates (the 8-virtual-device CPU dryrun gate, CI):
+#: the unrolled form stays the default because XLA fuses it into fewer,
+#: wider kernels at runtime on TPU.  Toggle via env LIBIOP_TPU_COMPILE_LIGHT
+#: or by setting this module global before tracing.
+COMPILE_LIGHT = os.environ.get("LIBIOP_TPU_COMPILE_LIGHT") == "1"
 
 
 def _int_to_limbs(x: int, L: int) -> np.ndarray:
@@ -219,11 +232,13 @@ class PrimeField:
     # ------------------------------------------------------------------
     # ring ops
     # ------------------------------------------------------------------
+    @autojit
     def add(self, a, b):
         t = [a[i] + b[i] for i in range(self.L)]
         t = self._carry_canonicalize(t)
         return jnp.stack(self._cond_sub_p(t))
 
+    @autojit
     def sub(self, a, b):
         # a + p - b, limbs via int32 with arithmetic-shift borrow propagation
         t = [a[i].astype(jnp.int32) + np.int32(self.p_limbs[i]) - b[i].astype(jnp.int32)
@@ -237,11 +252,72 @@ class PrimeField:
         out.append(c.astype(jnp.uint32))  # in [0,1] since a+p-b in (0,2p)
         return jnp.stack(self._cond_sub_p(out))
 
+    @autojit
     def neg(self, a):
         return self.sub(self.zeros(a.shape[1:]), a)
 
+    # -- compile-light (scanned) Montgomery kernels ------------------------
+    # Bit-identical to the unrolled forms below: same uint32 partial
+    # products, masks and carries — only the loop over limbs becomes a
+    # lax.scan, shrinking the traced graph ~7x (see COMPILE_LIGHT note).
+    def _mont_reduce_rows_scan(self, t, batch):
+        """Scanned version of the 16-bit-at-a-time Montgomery reduction loop
+        shared by mul / mont_reduce_wide.  t: (2L+2, *batch) accumulator."""
+        L = self.L
+        nb = len(batch)
+        zeros_row = jnp.zeros((1,) + batch, dtype=jnp.uint32)
+        p_col = jnp.asarray(self.p_limbs).reshape((L,) + (1,) * nb)
+
+        def body(tc, i):
+            ti_full = jax.lax.dynamic_index_in_dim(tc, i, 0, keepdims=False)
+            c = ti_full >> LIMB_BITS
+            ti = ti_full & LIMB_MASK
+            m = (ti * self.pinv16) & LIMB_MASK
+            mp = m[None] * p_col
+            lo = mp & LIMB_MASK
+            hi = mp >> LIMB_BITS
+            head = c + ((ti + lo[0]) >> LIMB_BITS)
+            # rows i+1..i+L: head at i+1, lo[1:] at i+1..i+L-1, hi at i+1..i+L
+            block = hi + jnp.concatenate([lo[1:], zeros_row], axis=0)
+            block = block.at[0].add(head)
+            start = (i + 1,) + (0,) * nb
+            win = jax.lax.dynamic_slice(tc, start, (L,) + batch)
+            return jax.lax.dynamic_update_slice(tc, win + block, start), None
+
+        t, _ = jax.lax.scan(body, t, jnp.arange(L, dtype=jnp.int32))
+        res = self._carry_canonicalize([t[k] for k in range(L, 2 * L + 2)])
+        return jnp.stack(self._cond_sub_p(res[:L + 1]))
+
+    def _mul_scan(self, a, b):
+        L = self.L
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (L,) + batch).astype(jnp.uint32)
+        b = jnp.broadcast_to(b, (L,) + batch).astype(jnp.uint32)
+        nb = len(batch)
+        T = 2 * L + 2
+        # derive the zero accumulator from BOTH inputs so its sharding/varying
+        # axes match theirs under shard_map (scan carries must be type-stable)
+        t = jnp.broadcast_to((a[:1] & 0) | (b[:1] & 0),
+                             (T,) + batch).astype(jnp.uint32)
+        zeros_row = jnp.zeros((1,) + batch, dtype=jnp.uint32)
+
+        def body(tc, i):
+            ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+            pi = ai[None] * b
+            block = (jnp.concatenate([pi & LIMB_MASK, zeros_row], axis=0)
+                     + jnp.concatenate([zeros_row, pi >> LIMB_BITS], axis=0))
+            start = (i,) + (0,) * nb
+            win = jax.lax.dynamic_slice(tc, start, (L + 1,) + batch)
+            return jax.lax.dynamic_update_slice(tc, win + block, start), None
+
+        t, _ = jax.lax.scan(body, t, jnp.arange(L, dtype=jnp.int32))
+        return self._mont_reduce_rows_scan(t, batch)
+
+    @autojit
     def mul(self, a, b):
         """Montgomery product: a·b·R^{-1} mod p."""
+        if COMPILE_LIGHT:
+            return self._mul_scan(a, b)
         L = self.L
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         npad = len(batch)
@@ -277,9 +353,11 @@ class PrimeField:
         res = self._carry_canonicalize([t[k] for k in range(L, 2 * L + 2)])
         return jnp.stack(self._cond_sub_p(res[:self.L + 1]))
 
+    @autojit
     def square(self, a):
         return self.mul(a, a)
 
+    @autojit
     def mont_reduce_wide(self, t):
         """Montgomery-reduce a *lazy* limb accumulator: t is (K, *batch)
         uint32 with K <= 2L+2 columns, each column < 2^28 (e.g. the result of
@@ -298,6 +376,8 @@ class PrimeField:
         if K < T:
             t = jnp.concatenate(
                 [t, jnp.zeros((T - K,) + batch, dtype=jnp.uint32)], axis=0)
+        if COMPILE_LIGHT:
+            return self._mont_reduce_rows_scan(t, batch)
 
         def _pad_rows(x, before):
             return jnp.pad(x, [(before, T - before - x.shape[0])]
@@ -318,17 +398,20 @@ class PrimeField:
         res = self._carry_canonicalize([t[k] for k in range(L, 2 * L + 2)])
         return jnp.stack(self._cond_sub_p(res[:self.L + 1]))
 
+    @autojit
     def lazy_sum_reduce(self, t):
         """Reduce a lazy limb-wise sum of Montgomery-form values back to a
         canonical Montgomery-form element: t (K, *batch) as in
         :meth:`mont_reduce_wide`. value(t) = S*R + c*p  =>  returns S*R mod p."""
         return self.from_canonical_limbs(self.mont_reduce_wide(t))
 
+    @autojit
     def mul_scalar(self, a, s):
         """Multiply batch a (L, *batch) by a single element s (L,) or (L,1...)."""
         s = s.reshape((self.L,) + (1,) * (a.ndim - 1))
         return self.mul(a, s)
 
+    @autojit
     def segment_reduce(self, prod, seg_ids, num_segments: int):
         """Segment-sum of field values: prod (L, nnz) -> (L, num_segments).
         Lazy limb accumulation (no per-term carries) + one wide Montgomery
@@ -341,6 +424,7 @@ class PrimeField:
     # ------------------------------------------------------------------
     # exponentiation / inversion
     # ------------------------------------------------------------------
+    @autojit
     def pow_static(self, a, e: int):
         """a^e for a *static* non-negative integer exponent (square & multiply
         via lax.scan over the exponent bits; graph size O(1) in e)."""
@@ -355,14 +439,16 @@ class PrimeField:
             acc = jnp.where(bit == 1, acc_mul, acc)
             return acc, None
 
-        init = self.ones(a.shape[1:])
+        init = self.ones(a.shape[1:]) + (a[:1] & 0)  # inherit input sharding
         out, _ = jax.lax.scan(body, init, bits_arr)
         return out
 
+    @autojit
     def inv(self, a):
         """Batched inversion via Fermat: a^(p-2). inv(0) = 0."""
         return self.pow_static(a, self.p - 2)
 
+    @autojit
     def batch_inverse_and_mul(self, a, c):
         """inv(a) * c elementwise (reference: utils.hpp:31-36 batch_inverse_and_mul)."""
         return self.mul(self.inv(a), c)
@@ -370,12 +456,15 @@ class PrimeField:
     # ------------------------------------------------------------------
     # predicates / misc
     # ------------------------------------------------------------------
+    @autojit
     def is_zero(self, a):
         return jnp.all(a == 0, axis=0)
 
+    @autojit
     def eq(self, a, b):
         return jnp.all(a == b, axis=0)
 
+    @autojit
     def select(self, pred, a, b):
         """pred: (*batch,) bool; a,b: (L,*batch)."""
         return jnp.where(pred[None, ...], a, b)
@@ -383,12 +472,14 @@ class PrimeField:
     # ------------------------------------------------------------------
     # serialization (canonical form!)
     # ------------------------------------------------------------------
+    @autojit
     def to_canonical_limbs(self, a):
         """Montgomery -> canonical-value limbs (device op): a·R^{-1} mod p."""
         one = jnp.zeros((self.L,) + (1,) * (a.ndim - 1), dtype=jnp.uint32
                         ).at[0].set(1)
         return self.mul(a, one)
 
+    @autojit
     def from_canonical_limbs(self, a):
         r2 = jnp.asarray(_int_to_limbs(self.R2, self.L)).reshape(
             (self.L,) + (1,) * (a.ndim - 1))

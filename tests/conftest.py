@@ -39,6 +39,14 @@ _fftmod._SCAN_THRESHOLD = 1 << 6
 import libiop_tpu.fields.binary as _binmod  # noqa: E402
 _binmod._MUL_MODE = "scan"
 
+# Same reasoning for prime-field Montgomery muls: compile-light scanned limb
+# loops (bit-identical; ~7x smaller graphs).  tests/test_compile_modes.py
+# pins scan==unrolled equivalence so the TPU-default unrolled path stays
+# covered.  Opt out per-run with LIBIOP_TPU_TEST_HEAVY=1.
+if os.environ.get("LIBIOP_TPU_TEST_HEAVY") != "1":
+    import libiop_tpu.fields.prime as _primemod  # noqa: E402
+    _primemod.COMPILE_LIGHT = True
+
 import numpy as np
 import pytest
 
