@@ -1,22 +1,31 @@
-"""Benchmark entry point — prints ONE JSON line for the driver.
+"""Benchmark entry point — prints JSON lines; the driver parses the LAST one.
 
 Primary metric: **Aurora prover seconds at 2^14 R1CS over edwards_Fr**
 (BASELINE.json config 1) on the real TPU chip, end-to-end through the public
 SNARK API (witness encode, lincheck/sumcheck, FRI, Merkle/BCS).  Secondary
-metrics (recorded to BENCH_DETAILS.json alongside): NTT butterflies/s,
-blake2b leaf hashes/s, argument size, and a per-phase timing tree.
+metrics (recorded incrementally to BENCH_DETAILS.json): NTT butterflies/s,
+blake2b leaf hashes/s, argument size, verifier seconds, per-phase tree.
 
-The axon remote-compile service has highly variable latency (30s-500s per
-graph), so each stage runs in a subprocess under its own budget; if the
-Aurora run cannot finish, the fallback metric is the NTT rate (the round-1
-metric), then batched field-multiply throughput.
+Deadline-safe by construction (round-3 postmortem: the old budget arithmetic
+could burn the whole driver timeout inside the Aurora stage and print
+nothing):
+  * a GLOBAL deadline (env GRAFT_BENCH_DEADLINE_S, default 1500 s) bounds the
+    whole run; every stage budget is clipped to the time remaining;
+  * the cheap, known-good NTT metric runs FIRST and its line is printed
+    immediately — the expensive Aurora stage can only *upgrade* the result by
+    printing a later line;
+  * stages run once each (no retry loops); children print INCREMENTAL JSON
+    lines, and a child killed at its timeout still contributes its last
+    completed line (subprocess.TimeoutExpired carries partial stdout);
+  * BENCH_DETAILS.json is rewritten after every stage.
 
 vs_baseline anchors (the C++ reference cannot be built here — submodules
 absent — so anchors are estimates, stated explicitly):
 * Aurora prover: libiop's paper-reported ~120 s at 2^20 constraints single
-  core [BCRSVW19] scaled O(N log N) to 2^14 => ~1.6 s.
+  core [BCRSVW19] scaled O(N log N) to the measured size (2^14 => ~1.6 s).
 * NTT: ~1e7 butterflies/s single-core (Montgomery mul on 3x64b limbs).
 * field mul: ~2.5e7 muls/s (~40 ns per 181-bit Montgomery mul).
+* blake2b: ~2e6 96-byte hashes/s single-core (libsodium).
 """
 import json
 import os
@@ -25,6 +34,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+DEADLINE = time.time() + float(os.environ.get("GRAFT_BENCH_DEADLINE_S", "1500"))
+
+
+def _remaining() -> float:
+    return DEADLINE - time.time()
+
 
 _AURORA_CHILD = r"""
 import json, sys, time
@@ -38,7 +53,8 @@ import jax, jax.numpy as jnp
 # channel setup in the remote-TPU service); pay it here, not mid-proof.
 _w = jax.jit(lambda x: x + 1)(jnp.ones((8,), jnp.uint32))
 _t0 = time.time(); jax.device_get(_w)
-print(json.dumps({{"warm_transfer_s": time.time() - _t0}}), file=sys.stderr)
+print(json.dumps({{"stage": "tunnel", "warm_transfer_s": time.time() - _t0}}),
+      flush=True)
 import libiop_tpu.algebra.fft as fftmod
 fftmod._SCAN_THRESHOLD = 1 << {scan_log}  # bound XLA graph size / compile time
 from libiop_tpu.fields.prime import edwards_fr
@@ -55,22 +71,28 @@ cs, primary, aux = generate_r1cs_example(F, n, 15, n - 1,
 params = AuroraSnarkParams(security_parameter=128, RS_extra_dimensions=2,
                            fri_localization_parameter=2, make_zk=False,
                            pow_bits=20)
+t0 = time.time()
 with prof.block("warmup_proof"):
     # first proof pays all remote compiles; persistently cached after
     proof = aurora_snark_prover(cs, primary, aux, params)
 blob = proof.serialize()
+print(json.dumps({{"stage": "warm", "warm_prover_s": time.time() - t0,
+                   "argument_bytes": len(blob)}}), flush=True)
 prof.records.clear()  # keep only the measured proof's phase tree
 t0 = time.time()
 with prof.block("aurora_prove"):
     proof = aurora_snark_prover(cs, primary, aux, params)
 dt = time.time() - t0
+print(json.dumps({{"stage": "prove", "prover_s": dt,
+                   "argument_bytes": len(blob),
+                   "profile": prof.report()}}), flush=True)
 t0 = time.time()
 ok = aurora_snark_verifier(cs, primary, proof, params)
 t_verify = time.time() - t0
 assert ok
-print(json.dumps({{"prover_s": dt, "verifier_s": t_verify,
+print(json.dumps({{"stage": "done", "prover_s": dt, "verifier_s": t_verify,
                    "argument_bytes": len(blob),
-                   "profile": prof.report()}}))
+                   "profile": prof.report()}}), flush=True)
 """
 
 _NTT_CHILD = r"""
@@ -89,21 +111,24 @@ N = 1 << dim
 dom = MultiplicativeCoset(F, dim, shift=F.multiplicative_generator)
 dom.generator_powers(); dom.shift_powers()  # host twiddle caches
 coeffs = F.random((N,), np.random.default_rng(7))
-fftmod._SCAN_THRESHOLD = 1  # O(1)-graph path: smallest compile
+fftmod._SCAN_THRESHOLD = {scan_threshold}
 CHAIN = 8  # chain NTTs inside ONE graph: excludes tunnel dispatch latency
 def chained(c):
     for _ in range(CHAIN):
         c = fftmod.fft(c, dom)
     return c
 ntt = jax.jit(chained)
+t0 = time.time()
 ntt(coeffs).block_until_ready()
+print(json.dumps({{"stage": "compile", "compile_s": time.time() - t0}}),
+      flush=True)
 runs = 5
 t0 = time.time()
 for _ in range(runs):
     out = ntt(coeffs)
 out.block_until_ready()
 dt = (time.time() - t0) / (runs * CHAIN)
-print(json.dumps({{"dt": dt}}))
+print(json.dumps({{"stage": "done", "dt": dt}}), flush=True)
 """
 
 _HASH_CHILD = r"""
@@ -116,34 +141,68 @@ t0 = time.time()
 out = native_blake2b.hash_batch(blocks, 32, tag=b"\x00")
 dt = time.time() - t0
 assert out is not None
-print(json.dumps({{"dt": dt, "n": len(blocks)}}))
+print(json.dumps({{"stage": "done", "dt": dt, "n": len(blocks)}}), flush=True)
+"""
+
+_MUL_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from libiop_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+import numpy as np, jax
+from libiop_tpu.fields.prime import edwards_fr
+F = edwards_fr()
+N = 1 << {dim}
+rng = np.random.default_rng(7)
+a = F.random((N,), rng)
+b = F.random((N,), rng)
+mulj = jax.jit(F.mul)
+mulj(a, b).block_until_ready()
+t0 = time.time()
+out = a
+for _ in range(20):
+    out = mulj(out, b)
+out.block_until_ready()
+dt = (time.time() - t0) / 20
+print(json.dumps({{"stage": "done", "dt": dt, "n": N}}), flush=True)
 """
 
 
-def _run_child(code: str, budget_s: int, attempts: int = 1) -> dict:
-    """Run a bench stage in a subprocess; retry on failure — the remote-TPU
-    service intermittently returns UNAVAILABLE / topology errors and the
-    persistent compile cache makes retries cheap."""
-    last = None
-    for _ in range(attempts):
+def _run_child(code: str, budget_s: float) -> dict:
+    """Run a bench stage subprocess; return the LAST parseable JSON line it
+    printed — even when the child is killed at the timeout (children print
+    incremental results)."""
+    budget_s = max(5.0, budget_s)
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, timeout=budget_s, text=True)
+        stdout, stderr = out.stdout or "", out.stderr or ""
+        rc = out.returncode
+    except subprocess.TimeoutExpired as e:
+        def _s(b):
+            return b.decode(errors="replace") if isinstance(b, bytes) else (b or "")
+        stdout, stderr, rc = _s(e.stdout), _s(e.stderr), "timeout"
+    result = None
+    for line in stdout.strip().splitlines():
         try:
-            out = subprocess.run([sys.executable, "-c", code],
-                                 capture_output=True, timeout=budget_s,
-                                 text=True)
-        except subprocess.TimeoutExpired as e:
-            last = RuntimeError(f"timeout after {budget_s}s")
+            parsed = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
             continue
-        if out.returncode != 0:
-            last = RuntimeError(out.stderr[-800:])
-            continue
-        return json.loads(out.stdout.strip().splitlines()[-1])
-    raise last
+        if isinstance(parsed, dict):
+            result = parsed
+    if result is None:
+        raise RuntimeError(f"stage rc={rc}: {stderr[-800:]}")
+    result["rc"] = rc
+    return result
 
 
-def bench_aurora(log_n=14, scan_log=14, budget_s=2400) -> tuple:
+def bench_aurora(log_n=14, scan_log=21, budget_s=600) -> tuple:
+    """Returns (primary_line_or_None, raw_child_result)."""
     res = _run_child(
         _AURORA_CHILD.format(repo=REPO, log_n=log_n, scan_log=scan_log),
-        budget_s, attempts=2)
+        budget_s)
+    if "prover_s" not in res:
+        return None, res  # only the warmup (or tunnel) landed
     # reference anchor: ~120 s at 2^20 single core, O(N log N) scaling
     ref = 120.0 * ((1 << log_n) * log_n) / ((1 << 20) * 20)
     primary = {
@@ -155,9 +214,13 @@ def bench_aurora(log_n=14, scan_log=14, budget_s=2400) -> tuple:
     return primary, res
 
 
-def bench_ntt(dim=16, budget_s=600) -> dict:
-    res = _run_child(_NTT_CHILD.format(repo=REPO, dim=dim), budget_s,
-                     attempts=2)
+def bench_ntt(dim=16, budget_s=600, scan=False) -> tuple:
+    res = _run_child(
+        _NTT_CHILD.format(repo=REPO, dim=dim,
+                          scan_threshold=(1 if scan else (1 << 21))),
+        budget_s)
+    if "dt" not in res:
+        return None, res
     N = 1 << dim
     rate = (N // 2) * dim / res["dt"]
     return {
@@ -165,7 +228,7 @@ def bench_ntt(dim=16, budget_s=600) -> dict:
         "value": round(rate),
         "unit": "butterflies/s",
         "vs_baseline": round(rate / 1e7, 2),
-    }
+    }, res
 
 
 def bench_hashes(budget_s=200) -> dict:
@@ -175,66 +238,102 @@ def bench_hashes(budget_s=200) -> dict:
             "unit": "hashes/s", "vs_baseline": round(rate / 2.0e6, 2)}
 
 
-def bench_mul(dim=20) -> dict:
-    import numpy as np
-    import jax
-    from libiop_tpu.fields.prime import edwards_fr
-    F = edwards_fr()
-    N = 1 << dim
-    rng = np.random.default_rng(7)
-    a = F.random((N,), rng)
-    b = F.random((N,), rng)
-    mulj = jax.jit(F.mul)
-    mulj(a, b).block_until_ready()
-    t0 = time.time()
-    out = a
-    for _ in range(20):
-        out = mulj(out, b)
-    out.block_until_ready()
-    dt = (time.time() - t0) / 20
+def bench_mul(dim=20, budget_s=300) -> dict:
+    res = _run_child(_MUL_CHILD.format(repo=REPO, dim=dim), budget_s)
+    rate = res["n"] / res["dt"]
     return {"metric": f"field_mul_per_s_edwards181_2e{dim}",
-            "value": round(N / dt), "unit": "muls/s",
-            "vs_baseline": round((N / dt) / 2.5e7, 2)}
+            "value": round(rate), "unit": "muls/s",
+            "vs_baseline": round(rate / 2.5e7, 2)}
+
+
+def _sweep(log_ns):
+    """Measurement mode for BASELINE.md: Aurora prover at each log_n,
+    largest budget per size, incremental output."""
+    out_rows = []
+    for log_n in log_ns:
+        try:
+            primary, res = bench_aurora(log_n=log_n,
+                                        budget_s=_remaining() - 20)
+            row = {"log_n": log_n, **(primary or {}),
+                   "warm_prover_s": res.get("warm_prover_s"),
+                   "verifier_s": res.get("verifier_s"),
+                   "argument_bytes": res.get("argument_bytes"),
+                   "profile": res.get("profile")}
+        except Exception as e:  # noqa: BLE001
+            row = {"log_n": log_n, "error": str(e)[-300:]}
+        out_rows.append(row)
+        print(json.dumps(row), flush=True)
+        _save({"sweep": out_rows}, name="BENCH_SWEEP.json")
+        if _remaining() < 60:
+            break
+
+
+def _save(details: dict, name="BENCH_DETAILS.json"):
+    try:
+        with open(os.path.join(REPO, name), "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
 
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--sweep":
-        # measurement mode for BASELINE.md: aurora prover at each log_n
-        for log_n in [int(a) for a in sys.argv[2:]]:
-            try:
-                primary, res = bench_aurora(
-                    log_n=log_n, scan_log=min(log_n, 14),
-                    budget_s=3000)
-                print(json.dumps({**primary,
-                                  "verifier_s": round(res["verifier_s"], 3),
-                                  "argument_bytes": res["argument_bytes"],
-                                  "profile": res.get("profile")}), flush=True)
-            except Exception as e:  # noqa: BLE001
-                print(json.dumps({"log_n": log_n, "error": str(e)[-300:]}),
-                      flush=True)
+        _sweep([int(a) for a in sys.argv[2:]])
         return
     details = {}
     primary = None
+
+    # Stage 1 — NTT rate (cheap, known-good since round 1): the guaranteed
+    # metric, printed immediately.
     try:
-        primary, aurora_res = bench_aurora()
-        details["aurora_2e14"] = aurora_res
-    except Exception as e:  # noqa: BLE001 — fall back to the round-1 metric
-        details["aurora_error"] = str(e)[-300:]
-    for name, fn in [("ntt", bench_ntt), ("hashes", bench_hashes)]:
+        line, res = bench_ntt(dim=16, budget_s=min(600.0, _remaining() - 420))
+        details["ntt"] = res
+        if line is not None:
+            details["ntt_line"] = line
+            primary = line
+            print(json.dumps(line), flush=True)
+    except Exception as e:  # noqa: BLE001
+        details["ntt_error"] = str(e)[-300:]
+    _save(details)
+
+    # Stage 1b — fallback if NTT produced nothing: batched field multiply.
+    if primary is None and _remaining() > 360:
         try:
-            details[name] = fn()
+            primary = bench_mul(budget_s=min(300.0, _remaining() - 330))
+            details["mul_line"] = primary
+            print(json.dumps(primary), flush=True)
         except Exception as e:  # noqa: BLE001
-            details[name + "_error"] = str(e)[-300:]
+            details["mul_error"] = str(e)[-300:]
+        _save(details)
+
+    # Stage 2 — blake2b leaf hashing (host-native, no JAX): detail only.
+    if _remaining() > 320:
+        try:
+            details["hashes_line"] = bench_hashes(
+                budget_s=min(200.0, _remaining() - 310))
+        except Exception as e:  # noqa: BLE001
+            details["hashes_error"] = str(e)[-300:]
+        _save(details)
+
+    # Stage 3 — the primary metric: Aurora prover at 2^14.  Gets ALL the
+    # remaining budget; a success upgrades the printed result (driver parses
+    # the tail line).
+    if _remaining() > 90:
+        try:
+            line, res = bench_aurora(log_n=14, budget_s=_remaining() - 25)
+            details["aurora_2e14"] = res
+            if line is not None:
+                details["aurora_line"] = line
+                primary = line
+                print(json.dumps(line), flush=True)
+        except Exception as e:  # noqa: BLE001
+            details["aurora_error"] = str(e)[-300:]
+        _save(details)
+
     if primary is None:
-        primary = details.get("ntt")
-    if primary is None:
-        primary = bench_mul()
-    try:
-        with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
-            json.dump(details, f, indent=1)
-    except OSError:
-        pass
-    print(json.dumps(primary))
+        # nothing landed: emit an explicit failure record (still valid JSON)
+        print(json.dumps({"metric": "bench_failed", "value": 0,
+                          "unit": "none", "vs_baseline": 0}))
 
 
 if __name__ == "__main__":

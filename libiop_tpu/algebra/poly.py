@@ -137,6 +137,9 @@ def divide_by_vanishing(coeffs, H: MultiplicativeCoset):
     # a second pass combines the <= nb/2^11 chunk carries.
     c = min(nb, 1 << 11)
     nc = -(-nb // c)
+    # the second (chunk-carry) cumsum accumulates up to nc 16-bit limbs per
+    # column; mont_reduce_wide caps columns at 2^28 => nc <= 2^12 (nb <= 2^23)
+    assert nc <= 1 << 12, f"divide_by_vanishing: degree too large (nb={nb})"
     w = weighted.astype(jnp.uint32)
     if nc * c != nb:
         w = jnp.concatenate(

@@ -53,8 +53,31 @@ class BCSParameters:
         return PowParameters(self.pow_bits)
 
 
+class LeafBlocks:
+    """Sequence-of-bytes view over one contiguous (num_leaves, block_len)
+    uint8 array: leaf blocks without materializing a Python bytes object per
+    leaf.  Indexing yields the leaf's bytes (transcript assembly touches only
+    the ~hundreds of queried leaves); the batch hashers consume ``.array``
+    directly (zero-copy into the native kernel)."""
+
+    __slots__ = ("array",)
+
+    def __init__(self, array: np.ndarray):
+        self.array = np.ascontiguousarray(array, dtype=np.uint8)
+
+    def __len__(self) -> int:
+        return self.array.shape[0]
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.array[i].tobytes()
+
+    def __iter__(self):
+        for i in range(self.array.shape[0]):
+            yield self.array[i].tobytes()
+
+
 def serialize_leaf_blocks(F, oracle_evals_list, domain,
-                          coset_size: int) -> List[bytes]:
+                          coset_size: int) -> LeafBlocks:
     """Device->host serialization of a (round, domain)'s oracles into leaf
     byte-columns (bcs_common.tcc:620-696 layouts).  oracle_evals_list: list of
     (L, N) device arrays in ascending oracle-id order.
@@ -62,25 +85,49 @@ def serialize_leaf_blocks(F, oracle_evals_list, domain,
     Leaf j holds, for each oracle, the values at positions
     ``domain.position_by_coset_indices(j, i, c)`` for i in intra-coset order:
     strided (j + i*num_leaves) over multiplicative cosets, contiguous
-    (j*c + i) over affine subspaces."""
+    (j*c + i) over affine subspaces.
+
+    Perf: all oracles canonicalize in ONE jitted dispatch + ONE device_get
+    (eager per-oracle ops are catastrophic under remote-TPU dispatch latency;
+    measured 362s -> sub-second at 2^16 x 9 oracles), 16-bit prime-field
+    limbs are packed into uint32 pairs ON DEVICE so the d2h transfer carries
+    no dead bytes (2x), and the result stays one contiguous array end-to-end
+    into the native batch hasher."""
     N = domain.num_elements()
     c = coset_size
     assert N % c == 0
     num_leaves = N // c
-    # Canonicalize ALL oracles in ONE jitted dispatch + ONE device_get —
-    # eager per-oracle ops are catastrophic under remote-TPU dispatch latency
-    # (measured: 362s -> sub-second at 2^16 elements x 9 oracles).
+    host = None
+    packed = False
     if oracle_evals_list:
         import jax
         stacked = jnp.stack(list(oracle_evals_list), axis=1)  # (L, O, N)
+        # prime fields hold one 16-bit limb per uint32 lane; pairs pack into
+        # one uint32 whose little-endian bytes equal the canonical
+        # little-endian limb serialization, halving the transfer
+        packed = hasattr(F, "p") and F.L % 2 == 0
         canon_fn = getattr(F, "_leaf_canon_jit", None)
         if canon_fn is None:
-            canon_fn = F._leaf_canon_jit = jax.jit(F.to_canonical_limbs)
-        host = np.asarray(jax.device_get(canon_fn(stacked)))   # (L, O, N)
+            if packed:
+                def _canon_pack(x):
+                    cl = F.to_canonical_limbs(x)
+                    return cl[0::2] | (cl[1::2] << 16)
+            else:
+                _canon_pack = F.to_canonical_limbs
+            canon_fn = F._leaf_canon_jit = jax.jit(_canon_pack)
+        host = np.asarray(jax.device_get(canon_fn(stacked)))  # (L', O, N)
     per_oracle = []
     for o in range(len(oracle_evals_list)):
-        raw = np.frombuffer(F.canonical_to_bytes(host[:, o]), dtype=np.uint8
-                            ).reshape(N, F.elem_bytes)
+        a = host[:, o]                                        # (L', N)
+        if packed or not hasattr(F, "p"):
+            # little-endian uint32 words ARE the canonical element bytes
+            # (binary fields store u32 words natively; packed prime limbs
+            # by construction above)
+            raw = np.ascontiguousarray(a.T.astype("<u4", copy=False)).view(
+                np.uint8).reshape(N, F.elem_bytes)
+        else:
+            raw = np.frombuffer(F.canonical_to_bytes(a), dtype=np.uint8
+                                ).reshape(N, F.elem_bytes)
         if domain.kind == "affine_subspace":
             # leaf j <- positions j*c + i (contiguous cosets)
             blocks = raw.reshape(num_leaves, c, F.elem_bytes)
@@ -90,7 +137,7 @@ def serialize_leaf_blocks(F, oracle_evals_list, domain,
         per_oracle.append(blocks.reshape(num_leaves, c * F.elem_bytes))
     cat = np.concatenate(per_oracle, axis=1) if per_oracle else np.zeros(
         (num_leaves, 0), np.uint8)
-    return [cat[j].tobytes() for j in range(num_leaves)]
+    return LeafBlocks(cat)
 
 
 def parse_leaf_block(F: PrimeField, block: bytes, num_oracles: int,
@@ -130,9 +177,6 @@ class BCSTranscript:
     #: every field element costs exactly elem_bytes; non-canonical encodings
     #: are rejected at deserialization)
     elem_bytes: int = 0
-    # indexer support (Fractal): roots of the round-0 index MTs, carried in
-    # the verifier index instead of the transcript proper
-    total_depth_without_pruning: int = 0
 
     # -- binary serialization (canonical proof format) ---------------------
     def serialize(self) -> bytes:

@@ -54,6 +54,13 @@ class Blake2bHashing:
         return blake2b(NODE_TAG + left + right, self.digest_bytes)
 
     # batched variants (native C++ with OpenMP; hashlib fallback)
+    def leaf_hash_batch_array(self, arr):
+        """Hash a contiguous (n, block_len) uint8 array of leaf blocks;
+        None if the native kernel is unavailable (caller falls back)."""
+        from . import native_blake2b
+        return native_blake2b.hash_batch_array(arr, self.digest_bytes,
+                                               tag=LEAF_TAG)
+
     def leaf_hash_batch(self, blocks):
         from . import native_blake2b
         out = native_blake2b.hash_batch(list(blocks), self.digest_bytes,

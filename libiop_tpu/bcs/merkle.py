@@ -20,6 +20,8 @@ from __future__ import annotations
 import secrets
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from .hashing import Blake2bHashing
 
 
@@ -31,17 +33,38 @@ class MerkleTree:
         self.hasher = hasher
         self.num_leaves = n
         self.make_zk = make_zk
+        # contiguous-array fast path (LeafBlocks from serialize_leaf_blocks
+        # + a native batch hasher): no per-leaf Python bytes objects
+        arr = getattr(leaf_blocks, "array", None)
+        batch_arr = getattr(hasher, "leaf_hash_batch_array", None)
         batch = getattr(hasher, "leaf_hash_batch", None)
         if make_zk:
-            self.salts = _salts if _salts is not None else [
-                secrets.token_bytes(hasher.salt_bytes) for _ in range(n)]
-            salted = [b + s for b, s in zip(leaf_blocks, self.salts)]
-            leaf_digests = batch(salted) if batch else [
-                hasher.leaf_hash(b) for b in salted]
+            sb = hasher.salt_bytes
+            if _salts is not None:
+                self.salts = list(_salts)
+            else:
+                # one urandom draw for all leaves (same per-leaf distribution
+                # as independent draws; merkle_tree.tcc:37-67 role)
+                blob = secrets.token_bytes(n * sb)
+                self.salts = [blob[i * sb:(i + 1) * sb] for i in range(n)]
+            leaf_digests = None
+            if arr is not None and batch_arr is not None:
+                salted_arr = np.concatenate(
+                    [arr, np.frombuffer(b"".join(self.salts),
+                                        np.uint8).reshape(n, sb)], axis=1)
+                leaf_digests = batch_arr(salted_arr)
+            if leaf_digests is None:
+                salted = [b + s for b, s in zip(leaf_blocks, self.salts)]
+                leaf_digests = batch(salted) if batch else [
+                    hasher.leaf_hash(b) for b in salted]
         else:
             self.salts = None
-            leaf_digests = batch(leaf_blocks) if batch else [
-                hasher.leaf_hash(b) for b in leaf_blocks]
+            leaf_digests = None
+            if arr is not None and batch_arr is not None:
+                leaf_digests = batch_arr(arr)
+            if leaf_digests is None:
+                leaf_digests = batch(leaf_blocks) if batch else [
+                    hasher.leaf_hash(b) for b in leaf_blocks]
         # heap layout: nodes[1] = root; nodes[n..2n-1] = leaf digests
         nodes: List[bytes] = [b""] * (2 * n)
         nodes[n:] = leaf_digests

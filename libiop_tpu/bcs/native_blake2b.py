@@ -39,6 +39,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.blake2b_tree_layer.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_int]
+        lib.blake2b_pow_solve.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
+        lib.blake2b_pow_solve.restype = ctypes.c_uint64
         _LIB = lib
     except Exception:
         _LIB = None
@@ -69,6 +72,38 @@ def hash_batch(blocks: List[bytes], digest_len: int,
                       _tag_arg(tag))
     raw = out.raw
     return [raw[i * digest_len:(i + 1) * digest_len] for i in range(len(blocks))]
+
+
+def hash_batch_array(arr, digest_len: int,
+                     tag: Optional[bytes] = None) -> Optional[List[bytes]]:
+    """Hash the rows of a contiguous (n, in_len) uint8 array — zero-copy
+    into the kernel (no per-row Python bytes, no join)."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 2 or arr.shape[0] == 0:
+        return None
+    n, in_len = arr.shape
+    out = ctypes.create_string_buffer(n * digest_len)
+    lib.blake2b_batch(arr.ctypes.data_as(ctypes.c_char_p), n, in_len, out,
+                      digest_len, _tag_arg(tag))
+    raw = out.raw
+    return [raw[i * digest_len:(i + 1) * digest_len] for i in range(n)]
+
+
+def pow_solve(challenge: bytes, work_bits: int) -> Optional[int]:
+    """OpenMP grind for the Fiat-Shamir pow (pow.py semantics): smallest
+    nonce with LE64(blake2b_8(b"pow"+challenge+LE64(nonce))) clearing
+    ``work_bits`` leading zero bits.  None if unavailable (caller falls back
+    to the Python loop)."""
+    lib = _load()
+    if lib is None or len(challenge) > 64:
+        return None
+    bound = 1 << (64 - work_bits)
+    n = lib.blake2b_pow_solve(challenge, len(challenge), bound)
+    return None if n == (1 << 64) - 1 else int(n)
 
 
 def tree_layer(digests: List[bytes], digest_len: int,

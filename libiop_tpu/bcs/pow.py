@@ -21,6 +21,10 @@ class PowParameters:
     def solve(self, challenge: bytes) -> int:
         if self.work_bits == 0:
             return 0
+        from . import native_blake2b
+        nonce = native_blake2b.pow_solve(challenge, self.work_bits)
+        if nonce is not None:
+            return nonce
         nonce = 0
         while not self._ok(challenge, nonce):
             nonce += 1

@@ -100,37 +100,71 @@ def run_fractal(log_n, args, F):
 
 
 def run_ligero(log_n, args, F):
-    from ..iop.runtime import IOPProtocol
-    from ..protocols.ligero import LigeroIOP, LigeroIOPParams
     from ..relations.examples import generate_r1cs_example
+    from ..snark.ligero import (LigeroSnarkParams, ligero_snark_prover,
+                                ligero_snark_verifier)
     n = 1 << log_n
     cs, primary, aux = generate_r1cs_example(
         F, n, (1 << 4) - 1, n - 1, np.random.default_rng(0))
-    params = LigeroIOPParams(
-        F, security_parameter=args.security_level,
+    params = LigeroSnarkParams(
+        security_parameter=args.security_level,
         RS_extra_dimensions=args.rs_extra_dimensions,
         height_width_ratio=args.height_width_ratio,
-        make_zk=bool(args.make_zk),
-        num_constraints=n, num_variables=n - 1)
-    iop = IOPProtocol(F, seed=0)
-    lig = LigeroIOP(iop, cs, params)
-    lig.register_interactions()
-    iop.seal_interaction_registrations()
-    lig.register_queries()
-    iop.seal_query_registrations()
+        make_zk=bool(args.make_zk), hash_name=args.hash_enum,
+        pow_bits=args.pow_bits)
     t0 = time.time()
-    lig.produce_proof(primary, aux)
+    proof = ligero_snark_prover(cs, primary, aux, params)
     t_prove = time.time() - t0
+    blob = proof.serialize()
     t0 = time.time()
-    ok = lig.verifier_predicate(primary)
+    ok = ligero_snark_verifier(cs, primary, proof, params)
     t_verify = time.time() - t0
+    if args.detailed:
+        proof.print_detailed_report()
     return dict(prover_s=round(t_prove, 2), verifier_s=round(t_verify, 2),
-                accepted=ok, mode="interactive")
+                argument_bytes=len(blob), accepted=ok)
+
+
+def run_fri(log_n, args, F):
+    """FRI-isolation sweep (instrument_fri_snark.cpp:29-60,74-137 role):
+    log_n is the tested polynomial's degree dimension; RS rate and the
+    localization schedule follow the reference defaults."""
+    from ..snark.fri import (FRISnarkParams, fri_snark_prover,
+                             fri_snark_verifier)
+    rs_extra = 2  # instrument_fri_snark.cpp:85 fixes rho = 2^-2
+    codeword_dim = log_n + rs_extra
+    loc_vector = None
+    if args.num_localization_steps:
+        # [1, vals, vals, ...] — instrument_fri_snark.cpp:90-96
+        remaining = codeword_dim - rs_extra - 1
+        vals = remaining // args.num_localization_steps
+        loc_vector = [1] + [vals] * args.num_localization_steps
+    params = FRISnarkParams(
+        security_parameter=args.security_level,
+        codeword_domain_dim=codeword_dim,
+        RS_extra_dimensions=rs_extra,
+        localization_parameter=args.localization_parameter,
+        localization_vector=loc_vector,
+        num_oracles=args.num_oracles,
+        hash_name=args.hash_enum, pow_bits=args.pow_bits,
+        override_fri_queries=args.num_query_repetitions,
+        override_fri_interactive_repetitions=args.num_interactive_repetitions)
+    t0 = time.time()
+    proof = fri_snark_prover(F, params, np.random.default_rng(0))
+    t_prove = time.time() - t0
+    blob = proof.serialize()
+    t0 = time.time()
+    ok = fri_snark_verifier(F, proof, params)
+    t_verify = time.time() - t0
+    if args.detailed:
+        proof.print_detailed_report()
+    return dict(prover_s=round(t_prove, 2), verifier_s=round(t_verify, 2),
+                argument_bytes=len(blob), accepted=ok)
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--snark", choices=["aurora", "fractal", "ligero"],
+    ap.add_argument("--snark", choices=["aurora", "fractal", "ligero", "fri"],
                     default="aurora")
     ap.add_argument("--log_n_min", type=int, default=6)
     ap.add_argument("--log_n_max", type=int, default=8)
@@ -149,6 +183,16 @@ def main():
     ap.add_argument("--localization_parameter", type=int, default=2)
     ap.add_argument("--height_width_ratio", type=float, default=1.0)
     ap.add_argument("--pow_bits", type=int, default=0)
+    ap.add_argument("--num_localization_steps", type=int, default=0,
+                    help="fri only: build schedule [1, v, v, ...] "
+                         "(instrument_fri_snark.cpp:90-96)")
+    ap.add_argument("--num_oracles", type=int, default=1,
+                    help="fri only: codewords sharing the multi-FRI")
+    ap.add_argument("--num_interactive_repetitions", type=int, default=1,
+                    help="fri only")
+    ap.add_argument("--num_query_repetitions", type=int, default=10,
+                    help="fri only (reference default, "
+                         "instrument_fri_snark.cpp:149)")
     ap.add_argument("--optimize_localization", type=int, default=0,
                     help="search FRI localization vectors (aurora only): "
                          "1=argument size, 2=recursive-circuit size")
@@ -173,7 +217,7 @@ def main():
         assert F.kind == want, (
             f"--field_size {args.field_size} is a {F.kind} field")
     runner = {"aurora": run_aurora, "fractal": run_fractal,
-              "ligero": run_ligero}[args.snark]
+              "ligero": run_ligero, "fri": run_fri}[args.snark]
     for log_n in range(args.log_n_min, args.log_n_max + 1):
         result = runner(log_n, args, F)
         print(json.dumps({"snark": args.snark, "log_n": log_n,

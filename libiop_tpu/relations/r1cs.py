@@ -33,9 +33,15 @@ class R1CS:
     def num_constraints(self) -> int:
         return len(self.constraints)
 
-    def add_constraint(self, A: LinearCombination, B: LinearCombination,
-                       C: LinearCombination):
-        self.constraints.append((A, B, C))
+    def add_constraint(self, A, B, C):
+        """Add the constraint <A,z>*<B,z> = <C,z>.  Each side may be raw
+        [(index, coeff)] pairs or any operator-built expression from
+        relations.variable (Variable / LinearTerm / LinearCombination / int
+        constant) — the reference's r1cs_constraint + variable DSL
+        (r1cs.hpp:35-60, variable.hpp)."""
+        from .variable import as_term_pairs
+        self.constraints.append(
+            (as_term_pairs(A), as_term_pairs(B), as_term_pairs(C)))
         self._mats = None
 
     # -- matrices ----------------------------------------------------------

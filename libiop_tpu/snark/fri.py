@@ -28,6 +28,10 @@ class FRISnarkParams:
     codeword_domain_dim: int = 12
     RS_extra_dimensions: int = 2
     localization_parameter: int = 2
+    #: explicit per-round localization vector; overrides
+    #: localization_parameter when set (instrument_fri_snark.cpp:90-96
+    #: num_localization_steps role)
+    localization_vector: Optional[List[int]] = None
     num_oracles: int = 1
     hash_name: str = "blake2b"
     pow_bits: int = 0
@@ -36,9 +40,12 @@ class FRISnarkParams:
 
     def fri_params(self, F: PrimeField) -> FRIParameters:
         degree = 1 << (self.codeword_domain_dim - self.RS_extra_dimensions)
-        loc = FRIParameters.localization_parameter_to_array(
-            self.localization_parameter, self.codeword_domain_dim,
-            self.RS_extra_dimensions)
+        if self.localization_vector is not None:
+            loc = list(self.localization_vector)
+        else:
+            loc = FRIParameters.localization_parameter_to_array(
+                self.localization_parameter, self.codeword_domain_dim,
+                self.RS_extra_dimensions)
         degree = FRIParameters.next_testable_degree_bound(degree, loc)
         p = FRIParameters(
             F, self.security_parameter + 3,

@@ -156,4 +156,35 @@ void blake2b_tree_layer(const uint8_t *digests, size_t n_out,
                 out + (size_t)i * digest_len, digest_len);
   }
 }
+
+// Fiat-Shamir grinding (role of libiop/bcs/pow.tcc solve loop): find the
+// SMALLEST nonce with LE64(blake2b_8("pow" || challenge || LE64(nonce)))
+// < bound.  Chunked parallel scan with a min-reduction per chunk keeps the
+// result identical to the sequential lowest-nonce search (transcripts stay
+// byte-identical) while using every core.  Returns UINT64_MAX if
+// challenge_len > 64 (caller falls back to the Python loop).
+uint64_t blake2b_pow_solve(const uint8_t *challenge, size_t challenge_len,
+                           uint64_t bound) {
+  if (challenge_len > 64) return ~0ULL;
+  const size_t pre_len = 3 + challenge_len;
+  const uint64_t CHUNK = 1ULL << 16;
+  for (uint64_t base = 0;; base += CHUNK) {
+    uint64_t best = ~0ULL;
+#pragma omp parallel for reduction(min : best) schedule(static)
+    for (long j = 0; j < (long)CHUNK; j++) {
+      const uint64_t nonce = base + (uint64_t)j;
+      uint8_t msg[3 + 64 + 8];
+      msg[0] = 'p'; msg[1] = 'o'; msg[2] = 'w';
+      std::memcpy(msg + 3, challenge, challenge_len);
+      for (int k = 0; k < 8; k++) msg[pre_len + k] = (uint8_t)(nonce >> (8 * k));
+      uint8_t out8[8];
+      blake2b_one(-1, msg, pre_len + 8, out8, 8);
+      uint64_t v;
+      std::memcpy(&v, out8, 8);
+      if (v < bound && nonce < best) best = nonce;
+    }
+    if (best != ~0ULL) return best;
+    if (base + CHUNK < base) return ~0ULL;  // wrapped: give up
+  }
+}
 }

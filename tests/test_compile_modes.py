@@ -51,9 +51,11 @@ def test_divide_by_vanishing_matches_mul_back(rng):
     from libiop_tpu.algebra.domains import MultiplicativeCoset
     from libiop_tpu.algebra.poly import divide_by_vanishing, mul_by_vanishing
     F = edwards_fr()
-    for ddim, hdim, shift in [(6, 2, 19), (5, 5, 19), (4, 1, 1), (12, 1, 19)]:
+    # (8192, 1): nb=8192 > c=2048 => nc=4, exercising the chunk-carry branch;
+    # 4059 (non-multiple of h=8): exercises the tail-padding branch
+    for d, hdim, shift in [(1 << 6, 2, 19), (1 << 5, 5, 19), (1 << 4, 1, 1),
+                           (1 << 12, 1, 19), (1 << 13, 1, 19), (4059, 3, 19)]:
         H = MultiplicativeCoset(F, hdim, shift=shift)
-        d = 1 << ddim
         coeffs = F.from_ints([int(x) for x in rng.integers(0, 2**60, size=d)])
         q, r = divide_by_vanishing(coeffs, H)
         h = H.order

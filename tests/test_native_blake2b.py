@@ -34,3 +34,22 @@ def test_merkle_uses_batched_path():
     assert mt.root == nodes[0]
     aux = mt.multi_proof([5])
     assert validate_multi_proof(hasher, mt.root, 64, [5], [leaves[5]], aux)
+
+
+def test_native_pow_solve_matches_python():
+    """The OpenMP grind returns the SAME (lowest) nonce as the sequential
+    Python loop — transcripts must stay byte-identical."""
+    from libiop_tpu.bcs.pow import PowParameters
+    if not native_blake2b.available():
+        pytest.skip("native toolchain unavailable")
+    for bits, seed in [(6, 0), (10, 1), (13, 2)]:
+        challenge = hashlib.blake2b(bytes([seed]), digest_size=32).digest()
+        p = PowParameters(work_bits=bits)
+        native = native_blake2b.pow_solve(challenge, bits)
+        assert native is not None
+        nonce = 0
+        while not p._ok(challenge, nonce):
+            nonce += 1
+        assert native == nonce
+        assert p.verify(challenge, native)
+        assert p.solve(challenge) == nonce

@@ -28,6 +28,69 @@ def test_sparse_matvec(rng):
     assert gotT == wantT
 
 
+def test_variable_dsl_simple(rng):
+    """Mirror of test_r1cs.cpp:16-33 (SimpleTest): x*y = 1 via the variable
+    DSL, satisfied by (r, r^-1), violated by (r, r)."""
+    from libiop_tpu.relations.r1cs import R1CS
+    from libiop_tpu.relations.variable import Variable
+
+    F = edwards_fr()
+    const1, x, y = Variable(0), Variable(1), Variable(2)
+    cs = R1CS(F, num_inputs=1, num_variables=2)
+    cs.add_constraint(x, y, const1)
+    r = int(rng.integers(2, 1 << 60))
+    rinv = pow(r, F.p - 2, F.p)
+    assert cs.is_satisfied([r], [rinv])
+    assert not cs.is_satisfied([r], [r])
+
+
+def test_variable_dsl_arithmetic(rng):
+    """Non-trivial hand-built circuit using the full operator surface
+    (variable.hpp:48-188 semantics): like-term merging, int constants,
+    scalar multiply, negation, rsub."""
+    from libiop_tpu.relations.r1cs import R1CS
+    from libiop_tpu.relations.variable import (LinearCombination, LinearTerm,
+                                               Variable, as_term_pairs)
+
+    F = edwards_fr()
+    x, y, z, w = Variable(1), Variable(2), Variable(3), Variable(4)
+
+    # expression algebra
+    lc = 2 * x + y - 3          # 2x + y - 3*1
+    assert as_term_pairs(lc) == [(0, -3), (1, 2), (2, 1)]
+    assert as_term_pairs(lc + x) == [(0, -3), (1, 3), (2, 1)]   # merge
+    assert as_term_pairs(lc - 2 * x - y + 3) == []              # cancel
+    assert as_term_pairs(5 - x) == [(0, 5), (1, -1)]            # rsub
+    assert as_term_pairs(-(x * 4)) == [(1, -4)]
+    assert (x + y) * 2 == LinearCombination([LinearTerm(1, 2),
+                                             LinearTerm(2, 2)])
+    lc2 = LinearCombination()
+    lc2.add_term(x, 7)
+    lc2.add_term(y)
+    lc2.add_term(-2)
+    assert as_term_pairs(lc2) == [(0, -2), (1, 7), (2, 1)]
+    assert lc2.is_valid(4) and not LinearCombination(Variable(9)).is_valid(4)
+
+    # circuit: (x + 2y) * (3z - 1) = w ; (w - 5) * x = y
+    cs = R1CS(F, num_inputs=2, num_variables=4)
+    cs.add_constraint(x + 2 * y, 3 * z - 1, w)
+    cs.add_constraint(w - 5, x, y)
+    p = F.p
+    xv, zv = int(rng.integers(2, 1 << 60)), int(rng.integers(2, 1 << 60))
+    # solve: from c2, y = (w-5)*x; sub into c1: (x+2(w-5)x)(3z-1) = w
+    # pick w via fixed point is messy — instead choose y free and derive:
+    # c2 => w = y * x^-1 + 5;  c1 => (x + 2y)(3z - 1) = w must then hold:
+    # (x+2y)(3z-1) = y/x + 5  =>  y(3z-1)*2 - y/x = 5 - x(3z-1)
+    # => y (2(3z-1) - x^-1) = 5 - x(3z-1)
+    a = (2 * (3 * zv - 1) - pow(xv, p - 2, p)) % p
+    yv = ((5 - xv * (3 * zv - 1)) * pow(a, p - 2, p)) % p
+    wv = (yv * pow(xv, p - 2, p) + 5) % p
+    assert cs.is_satisfied([xv, yv], [zv, wv])
+    assert not cs.is_satisfied([xv, (yv + 1) % p], [zv, wv])
+    # evaluate() agrees with the satisfied witness
+    assert (x + 2 * y).evaluate([xv, yv, zv, wv], p) == (xv + 2 * yv) % p
+
+
 def test_r1cs_example_satisfied(rng):
     F = edwards_fr()
     cs, primary, aux = generate_r1cs_example(F, 32, 7, 31, rng)
