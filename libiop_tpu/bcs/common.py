@@ -101,21 +101,24 @@ def serialize_leaf_blocks(F, oracle_evals_list, domain,
     packed = False
     if oracle_evals_list:
         import jax
-        stacked = jnp.stack(list(oracle_evals_list), axis=1)  # (L, O, N)
+        from ..parallel.mesh import device_fetch
         # prime fields hold one 16-bit limb per uint32 lane; pairs pack into
         # one uint32 whose little-endian bytes equal the canonical
         # little-endian limb serialization, halving the transfer
         packed = hasattr(F, "p") and F.L % 2 == 0
         canon_fn = getattr(F, "_leaf_canon_jit", None)
         if canon_fn is None:
+            # stack INSIDE the jit: eager jnp.stack cannot consume
+            # multi-process global arrays
             if packed:
-                def _canon_pack(x):
-                    cl = F.to_canonical_limbs(x)
+                def _canon_pack(*xs):
+                    cl = F.to_canonical_limbs(jnp.stack(xs, axis=1))
                     return cl[0::2] | (cl[1::2] << 16)
             else:
-                _canon_pack = F.to_canonical_limbs
+                def _canon_pack(*xs):
+                    return F.to_canonical_limbs(jnp.stack(xs, axis=1))
             canon_fn = F._leaf_canon_jit = jax.jit(_canon_pack)
-        host = np.asarray(jax.device_get(canon_fn(stacked)))  # (L', O, N)
+        host = device_fetch(canon_fn(*oracle_evals_list))     # (L', O, N)
     per_oracle = []
     for o in range(len(oracle_evals_list)):
         a = host[:, o]                                        # (L', N)

@@ -85,7 +85,9 @@ class BCSProver(IOPProtocol):
                 self.verifier_messages[i] = self.hashchain.squeeze_field_elements(reg.size)
         # after the last round: grind pow
         if rnd == self.num_interaction_rounds - 1:
-            self.pow_nonce = self.pow.solve(self.hashchain.state)
+            from ..utils.profiling import PROFILER
+            with PROFILER.block("pow_solve"):
+                self.pow_nonce = self.pow.solve(self.hashchain.state)
             self.hashchain.absorb_bytes(b"pow" + self.pow_nonce.to_bytes(8, "little"))
 
     def _fresh_verifier_randomness(self, size: int, index: int):

@@ -84,7 +84,8 @@ class BinaryField:
         return jnp.asarray(self.from_ints_np(xs, shape))
 
     def to_ints(self, words) -> np.ndarray:
-        arr = np.asarray(jax.device_get(words)).astype(np.uint64)
+        from ..parallel.mesh import device_fetch
+        arr = device_fetch(words).astype(np.uint64)
         batch_shape = arr.shape[1:]
         flat = arr.reshape(self.W, -1)
         out = np.empty(flat.shape[1], dtype=object)
@@ -425,7 +426,8 @@ class BinaryField:
         return a
 
     def canonical_to_bytes(self, canonical) -> bytes:
-        arr = np.asarray(jax.device_get(canonical)).astype(np.uint32)
+        from ..parallel.mesh import device_fetch
+        arr = device_fetch(canonical).astype(np.uint32)
         flat = arr.reshape(self.W, -1).T  # (N, W) little-endian words
         return flat.astype('<u4').tobytes()
 

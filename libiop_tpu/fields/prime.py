@@ -488,7 +488,8 @@ class PrimeField:
     def canonical_to_bytes(self, canonical) -> bytes:
         """Host: canonical limb array (L, N) -> little-endian bytes, elementwise
         contiguous (elem_bytes per element, elements in batch order)."""
-        arr = np.asarray(jax.device_get(canonical)).astype(np.uint16)
+        from ..parallel.mesh import device_fetch
+        arr = device_fetch(canonical).astype(np.uint16)
         flat = arr.reshape(self.L, -1).T  # (N, L) little-endian 16-bit limbs
         return flat.astype('<u2').tobytes()
 

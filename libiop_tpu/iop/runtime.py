@@ -335,7 +335,8 @@ class IOPProtocol:
             ev = self.oracle_evals.get(handle.id)
             if ev is None:
                 raise RuntimeError(f"oracle {handle.id} has no contents")
-            val = int(self.F.to_ints(ev[:, position:position + 1])[0])
+            from ..parallel.mesh import fetch_column
+            val = int(self.F.to_ints(fetch_column(ev, position))[0])
         else:
             reg = self.virtual_regs[handle.id]
             dom = self.get_domain(reg.domain)

@@ -57,12 +57,60 @@ def active_mesh() -> Mesh | None:
     return _ACTIVE_MESH
 
 
+def device_fetch(arr) -> "np.ndarray":
+    """device->host that also handles multi-process GLOBAL arrays (shards on
+    other hosts): fully-replicated arrays read the local replica; sharded
+    ones allgather so every process holds the identical full value — the
+    invariant the replicated host-side protocol code depends on."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        if arr.is_fully_replicated:
+            return np.asarray(arr.addressable_data(0))
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(jax.device_get(arr))
+
+
+_COL_FETCH_CACHE: dict = {}
+
+
+def fetch_column(ev, position: int):
+    """ev[:, position:position+1] for possibly-global arrays: a plain eager
+    slice when addressable; a jitted dynamic-slice with replicated output
+    (one compile per shape, position traced) across processes."""
+    if not (isinstance(ev, jax.Array) and not ev.is_fully_addressable):
+        return ev[:, position:position + 1]
+    import jax.lax as lax
+    mesh = _ACTIVE_MESH
+    key = (ev.shape, str(ev.dtype), id(mesh))
+    fn = _COL_FETCH_CACHE.get(key)
+    if fn is None:
+        out_sh = NamedSharding(mesh, P()) if mesh is not None else None
+        fn = _COL_FETCH_CACHE[key] = jax.jit(
+            lambda a, p: lax.dynamic_slice_in_dim(a, p, 1, axis=1),
+            out_shardings=out_sh)
+    return fn(ev, position)
+
+
+def _mesh_is_multiprocess(mesh: Mesh) -> bool:
+    procs = {d.process_index for d in mesh.devices.flat}
+    return len(procs) > 1
+
+
 def maybe_shard_codeword(arr):
     """device_put an (L, N) limb array with the codeword axis sharded when a
-    mesh context is active and N divides evenly; replicate otherwise."""
+    mesh context is active and N divides evenly; replicate otherwise.
+
+    Multi-process meshes: a committed single-device jax.Array cannot be
+    resharded across processes, so pull it to host first (the replicated
+    host-side protocol code guarantees every process passes the identical
+    value) and device_put the numpy."""
     mesh = _ACTIVE_MESH
     if mesh is None:
         return arr
+    if _mesh_is_multiprocess(mesh) and isinstance(arr, jax.Array):
+        if not arr.is_fully_addressable:
+            return arr  # already global on this mesh topology
+        arr = np.asarray(jax.device_get(arr))
     n_dev = mesh.devices.size
     if arr.ndim >= 2 and arr.shape[-1] % n_dev == 0:
         spec = P(*([None] * (arr.ndim - 1) + [CODEWORD_AXIS]))

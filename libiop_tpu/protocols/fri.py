@@ -388,10 +388,17 @@ class FRIProtocol:
         F = self.F
         ni = self.params.num_interactive_repetitions
         etas = self.params.localization_parameters
-        base_evals = [self.iop.get_oracle_evaluations(h) for h in self.poly_handles]
+        from ..utils.profiling import PROFILER
+        with PROFILER.block("fri_combine_inputs"):
+            # evaluating the LDT-combined virtual oracle(s) over the full
+            # codeword domain — the largest single computation in the LDT
+            base_evals = [self.iop.get_oracle_evaluations(h)
+                          for h in self.poly_handles]
+            for ev in base_evals:
+                if hasattr(ev, "block_until_ready"):
+                    ev.block_until_ready()
         per_interaction = [list(base_evals) for _ in range(ni)]
         fold = fold_codeword_additive if self.additive else fold_codeword
-        from ..utils.profiling import PROFILER
         for i in range(self.num_reductions):
             if i > 0:
                 with PROFILER.block(f"fri_round{i}_commit"):
@@ -408,13 +415,17 @@ class FRIProtocol:
                         fold(F, ev, self.domains[i], etas[i], x_i)
                         for ev in per_interaction[j]]
         final_domain = self.domains[self.num_reductions]
-        for j in range(ni):
-            for ldt, ev in enumerate(per_interaction[j]):
-                coeffs = ifft_known_any(ev, final_domain, final_domain.order)
-                ints = [int(v) for v in
-                        F.to_ints(coeffs[:, :max(1, self.final_degree_bound)])]
-                self.iop.submit_prover_message(self.final_poly_handles[j][ldt], ints)
-        self.iop.signal_prover_round_done()
+        with PROFILER.block("fri_final_poly"):
+            for j in range(ni):
+                for ldt, ev in enumerate(per_interaction[j]):
+                    coeffs = ifft_known_any(ev, final_domain,
+                                            final_domain.order)
+                    ints = [int(v) for v in
+                            F.to_ints(coeffs[:, :max(1, self.final_degree_bound)])]
+                    self.iop.submit_prover_message(
+                        self.final_poly_handles[j][ldt], ints)
+        with PROFILER.block("fri_final_commit"):
+            self.iop.signal_prover_round_done()
 
     # -- verification ------------------------------------------------------
     def verifier_predicate(self) -> bool:

@@ -51,6 +51,25 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: compile-heaviest cases (zk/gf192/poseidon full-prover "
+        "matrices); excluded from the default run, exercised via "
+        "`pytest tests/ -m heavy` (the driver's separate tier)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # default run excludes the heavy tier so ONE `pytest tests/` invocation
+    # stays under the CI budget; an explicit -m expression takes precedence
+    if config.option.markexpr:
+        return
+    skip = pytest.mark.skip(reason="heavy tier: run with -m heavy")
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
