@@ -76,6 +76,97 @@ class LeafBlocks:
             yield self.array[i].tobytes()
 
 
+class DeviceLeafBlocks:
+    """Leaf blocks kept ON DEVICE as (num_leaves, nw) uint32 word rows
+    (little-endian byte streams).  Bytes cross to the host only for the
+    queried leaves (transcript assembly), via one gather + one small d2h —
+    the full-block transfer that dominated the 2^14 prove is gone."""
+
+    __slots__ = ("words", "block_len")
+
+    def __init__(self, words_dev, block_len: int):
+        self.words = words_dev
+        self.block_len = block_len
+
+    def __len__(self) -> int:
+        return self.words.shape[0]
+
+    def gather_async(self, positions):
+        """Dispatch the device gather WITHOUT syncing — lets transcript
+        assembly enqueue every tree's gather before paying one round-trip
+        each (the sync happens in gather_finish)."""
+        idx = np.asarray(list(positions), np.int64)
+        return jnp.take(self.words, jnp.asarray(idx), axis=0)
+
+    def rows_to_bytes(self, rows: np.ndarray) -> List[bytes]:
+        """Host-side split of already-fetched gather rows into leaf bytes."""
+        rows = np.asarray(rows).astype("<u4")
+        blob = rows.tobytes()
+        w = rows.shape[1] * 4
+        return [blob[k * w:k * w + self.block_len]
+                for k in range(rows.shape[0])]
+
+    def gather_finish(self, rows_dev) -> List[bytes]:
+        from ..parallel.mesh import device_fetch
+        return self.rows_to_bytes(device_fetch(rows_dev))
+
+    def gather(self, positions) -> List[bytes]:
+        return self.gather_finish(self.gather_async(positions))
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.gather([int(i)])[0]
+
+
+_DEVICE_LEAF_JIT: dict = {}
+
+
+def device_leaf_digests(F, oracle_evals_list, domain, coset_size: int,
+                        digest_bytes: int):
+    """Full-device leaf pipeline: canonicalize+pack -> per-leaf word layout
+    -> tag-prefixed batched BLAKE2b — one jitted dispatch, digests d2h only.
+    Returns (leaf_digests: List[bytes], DeviceLeafBlocks) or None when the
+    config is unsupported (odd-limb prime field, odd digest width)."""
+    import jax
+    from ..parallel.mesh import device_fetch
+    from .device_blake2b import (blake2b_words, leaf_words_layout,
+                                 prefix_tag_words)
+    if not oracle_evals_list or digest_bytes % 4 != 0:
+        return None
+    prime = hasattr(F, "p")
+    if prime and F.L % 2 != 0:
+        return None
+    N = domain.num_elements()
+    c = coset_size
+    num_leaves = N // c
+    O = len(oracle_evals_list)
+    L2 = (F.L // 2) if prime else F.W
+    nw = O * c * L2
+    block_len = 4 * nw
+    additive = domain.kind == "affine_subspace"
+    key = (getattr(F, "name", None), O, c, N, additive, digest_bytes,
+           tuple(e.shape for e in oracle_evals_list))
+    fn = _DEVICE_LEAF_JIT.get(key)
+    if fn is None:
+        def _pipeline(*evs):
+            stacked = jnp.stack(evs, axis=1)
+            if prime:
+                cl = F.to_canonical_limbs(stacked)
+                packed = cl[0::2] | (cl[1::2] << 16)
+            else:
+                packed = stacked
+            w = leaf_words_layout(packed, num_leaves, c, additive)
+            digests = blake2b_words(prefix_tag_words(w, 0x00),
+                                    block_len + 1, digest_bytes)
+            return digests, w
+        fn = _DEVICE_LEAF_JIT[key] = jax.jit(_pipeline)
+    digests_dev, words_dev = fn(*oracle_evals_list)
+    dh = device_fetch(digests_dev).astype("<u4")
+    blob = dh.tobytes()
+    leaf_digests = [blob[k * digest_bytes:(k + 1) * digest_bytes]
+                    for k in range(num_leaves)]
+    return leaf_digests, DeviceLeafBlocks(words_dev, block_len)
+
+
 def serialize_leaf_blocks(F, oracle_evals_list, domain,
                           coset_size: int) -> LeafBlocks:
     """Device->host serialization of a (round, domain)'s oracles into leaf

@@ -65,6 +65,10 @@ class MerkleTree:
             if leaf_digests is None:
                 leaf_digests = batch(leaf_blocks) if batch else [
                     hasher.leaf_hash(b) for b in leaf_blocks]
+        self.nodes = self._build_nodes(hasher, n, leaf_digests)
+
+    @staticmethod
+    def _build_nodes(hasher, n: int, leaf_digests: List[bytes]) -> List[bytes]:
         # heap layout: nodes[1] = root; nodes[n..2n-1] = leaf digests
         nodes: List[bytes] = [b""] * (2 * n)
         nodes[n:] = leaf_digests
@@ -79,7 +83,22 @@ class MerkleTree:
         else:
             for i in range(n - 1, 0, -1):
                 nodes[i] = hasher.two_to_one(nodes[2 * i], nodes[2 * i + 1])
-        self.nodes = nodes
+        return nodes
+
+    @classmethod
+    def from_leaf_digests(cls, hasher, leaf_digests: List[bytes]
+                          ) -> "MerkleTree":
+        """Build a (non-zk) tree from PRECOMPUTED leaf digests — the
+        device-BLAKE2b path hashes leaves in HBM and ships only digests."""
+        n = len(leaf_digests)
+        assert n >= 1 and (n & (n - 1)) == 0
+        mt = cls.__new__(cls)
+        mt.hasher = hasher
+        mt.num_leaves = n
+        mt.make_zk = False
+        mt.salts = None
+        mt.nodes = cls._build_nodes(hasher, n, leaf_digests)
+        return mt
 
     @classmethod
     def from_nodes(cls, hasher, num_leaves: int, nodes: List[bytes],

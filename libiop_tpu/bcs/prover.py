@@ -63,11 +63,27 @@ class BCSProver(IOPProtocol):
                 from ..utils.profiling import PROFILER
                 evals = [self.oracle_evals[i] for i in oracle_ids]
                 make_zk = any(self.oracle_regs[i].make_zk for i in oracle_ids)
-                with PROFILER.block(f"leaf_serialize_r{rnd}_d{dom_id}"):
-                    blocks = serialize_leaf_blocks(
-                        self.F, evals, dom, rp.quotient_map_size)
-                with PROFILER.block(f"merkle_hash_r{rnd}_d{dom_id}"):
-                    mt = MerkleTree(self.hasher, blocks, make_zk=make_zk)
+                dev = None
+                if (not make_zk
+                        and getattr(self.hasher, "name", "") == "blake2b"):
+                    # device-BLAKE2b path: leaves hashed in HBM, digests-only
+                    # d2h; blocks fetched lazily for the queried positions
+                    from .common import device_leaf_digests
+                    with PROFILER.block(f"leaf_hash_dev_r{rnd}_d{dom_id}"):
+                        dev = device_leaf_digests(
+                            self.F, evals, dom, rp.quotient_map_size,
+                            self.hasher.digest_bytes)
+                if dev is not None:
+                    leaf_digests, blocks = dev
+                    with PROFILER.block(f"merkle_tree_r{rnd}_d{dom_id}"):
+                        mt = MerkleTree.from_leaf_digests(
+                            self.hasher, leaf_digests)
+                else:
+                    with PROFILER.block(f"leaf_serialize_r{rnd}_d{dom_id}"):
+                        blocks = serialize_leaf_blocks(
+                            self.F, evals, dom, rp.quotient_map_size)
+                    with PROFILER.block(f"merkle_hash_r{rnd}_d{dom_id}"):
+                        mt = MerkleTree(self.hasher, blocks, make_zk=make_zk)
             self.merkle_trees[(rnd, dom_id)] = mt
             self.mt_oracle_ids[(rnd, dom_id)] = oracle_ids
             self.mt_leaf_blocks[(rnd, dom_id)] = blocks
@@ -154,13 +170,35 @@ class BCSProver(IOPProtocol):
             # bcs_common.tcc:700-716)
             per_tree.setdefault(key, set()).add(
                 dom.coset_index(pos, rp.quotient_map_size))
+        # two-phase gather: dispatch EVERY tree's device gather (async), then
+        # fetch them ALL in one device_get — per-tree round-trips through the
+        # remote-TPU tunnel dominated assembly otherwise
+        import jax as _jax
+        pending = {}
         for key, leaf_positions in sorted(per_tree.items()):
-            mt = self.merkle_trees[key]
             positions = sorted(leaf_positions)
             blocks = self.mt_leaf_blocks[key]
+            if hasattr(blocks, "gather_async"):
+                pending[key] = (positions, blocks.gather_async(positions))
+            else:
+                pending[key] = (positions, None)
+        dev_rows = {k: rd for k, (_, rd) in pending.items() if rd is not None}
+        if all(getattr(rd, "is_fully_addressable", True)
+               for rd in dev_rows.values()):
+            fetched = _jax.device_get(dev_rows)
+        else:  # multi-process global arrays: allgather-aware per-array path
+            from ..parallel.mesh import device_fetch
+            fetched = {k: device_fetch(rd) for k, rd in dev_rows.items()}
+        for key, (positions, rows_dev) in pending.items():
+            mt = self.merkle_trees[key]
+            blocks = self.mt_leaf_blocks[key]
+            if rows_dev is not None:
+                revealed = blocks.rows_to_bytes(fetched[key])
+            else:
+                revealed = [blocks[p] for p in positions]
             t.mt_proofs[key] = MTProof(
                 positions=positions,
-                leaf_blocks=[blocks[p] for p in positions],
+                leaf_blocks=revealed,
                 aux_digests=mt.multi_proof(positions),
                 salts=mt.reveal_salts(positions) if mt.make_zk else None)
         return t

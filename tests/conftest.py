@@ -70,6 +70,18 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_executable_cache():
+    """Clear jax's in-process executable caches after each test module: a
+    single full-suite invocation otherwise accumulates hundreds of live CPU
+    executables and this jaxlib intermittently SIGSEGVs in
+    backend_compile_and_load late in the run (observed at ~62%).  Our own
+    jit wrappers transparently recompile, so this only costs cross-module
+    cache reuse (small: modules compile distinct shapes)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)

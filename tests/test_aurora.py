@@ -28,7 +28,8 @@ def _iop_params(F, make_zk, m=16, n=15):
     return p
 
 
-@pytest.mark.parametrize("make_zk", [False, True])
+@pytest.mark.parametrize("make_zk", [
+    pytest.param(False, marks=pytest.mark.heavy), True])
 def test_aurora_iop_interactive(make_zk, rng):
     F, cs, primary, aux = _example(rng)
     iop = IOPProtocol(F, seed=42)

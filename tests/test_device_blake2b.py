@@ -1,0 +1,75 @@
+"""Device-BLAKE2b pins: bit-identical to hashlib for every message shape the
+BCS layer produces, and the full device leaf pipeline reproduces the host
+serialize+hash path exactly (golden transcripts must not change)."""
+import hashlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from libiop_tpu.bcs.device_blake2b import (blake2b_words, leaf_words_layout,
+                                           prefix_tag_words)
+from libiop_tpu.fields.prime import edwards_fr
+from libiop_tpu.fields.binary import gf64
+
+
+@pytest.mark.parametrize("msg_bytes,digest_bytes", [
+    (0, 32), (4, 8), (124, 32), (128, 32), (132, 64), (385, 32)])
+def test_blake2b_words_matches_hashlib(msg_bytes, digest_bytes, rng):
+    n = 5
+    nw = -(-msg_bytes // 4)
+    msgs = [bytes(rng.integers(0, 256, size=msg_bytes, dtype=np.uint8))
+            for _ in range(n)]
+    rows = np.zeros((n, max(nw, 1)), dtype=np.uint32)
+    for k, m in enumerate(msgs):
+        padded = m + b"\x00" * (max(nw, 1) * 4 - msg_bytes)
+        rows[k] = np.frombuffer(padded, dtype="<u4")
+    got = np.asarray(jax.jit(
+        lambda w: blake2b_words(w, msg_bytes, digest_bytes))(jnp.asarray(rows)))
+    for k, m in enumerate(msgs):
+        want = hashlib.blake2b(m, digest_size=digest_bytes).digest()
+        assert np.ascontiguousarray(got[k].astype("<u4")).view(
+            np.uint8).tobytes() == want
+
+
+def test_prefix_tag_words(rng):
+    raw = bytes(rng.integers(0, 256, size=20, dtype=np.uint8))
+    w = jnp.asarray(np.frombuffer(raw, dtype="<u4").reshape(1, 5))
+    tagged = np.asarray(prefix_tag_words(w, 0x01))
+    stream = np.ascontiguousarray(tagged[0].astype("<u4")).view(np.uint8)
+    assert stream[:21].tobytes() == b"\x01" + raw
+    assert (stream[21:] == 0).all()
+
+
+@pytest.mark.parametrize("F_fn,kind", [(edwards_fr, "mult"),
+                                       (gf64, "additive")])
+@pytest.mark.parametrize("coset_size", [1, 4])
+def test_device_leaf_digests_match_host_path(F_fn, kind, coset_size, rng):
+    from libiop_tpu.bcs.common import device_leaf_digests, serialize_leaf_blocks
+    from libiop_tpu.bcs.hashing import Blake2bHashing
+    from libiop_tpu.algebra.generic import make_domain, element_outside_of_subset
+
+    F = F_fn()
+    dim = 5
+    if kind == "mult":
+        dom = make_domain(F, dim, shift=element_outside_of_subset(F, dim))
+    else:
+        dom = make_domain(F, dim)
+    N = dom.num_elements()
+    evals = [F.from_ints([int(x) for x in rng.integers(0, 1 << 60, size=N)])
+             for _ in range(3)]
+    hasher = Blake2bHashing(128)
+    host_blocks = serialize_leaf_blocks(F, evals, dom, coset_size)
+    out = device_leaf_digests(F, evals, dom, coset_size, hasher.digest_bytes)
+    assert out is not None
+    digests, dev_blocks = out
+    assert len(digests) == len(host_blocks) == N // coset_size
+    for j in range(len(host_blocks)):
+        assert digests[j] == hasher.leaf_hash(host_blocks[j])
+    # queried-leaf byte fetch == host serialization
+    picks = [0, len(host_blocks) - 1, 3 % len(host_blocks)]
+    fetched = dev_blocks.gather(picks)
+    for b, j in zip(fetched, picks):
+        assert b == host_blocks[j]
+    assert dev_blocks[1] == host_blocks[1]

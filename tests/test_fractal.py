@@ -25,7 +25,8 @@ def _iop_params(F, r1cs, make_zk):
     return p
 
 
-@pytest.mark.parametrize("make_zk", [False, True])
+@pytest.mark.parametrize("make_zk", [
+    False, pytest.param(True, marks=pytest.mark.heavy)])
 def test_fractal_iop_interactive(make_zk, rng):
     F = edwards_fr()
     cs, primary, aux = generate_r1cs_example(F, 16, 3, 15, rng)

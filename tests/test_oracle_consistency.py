@@ -14,7 +14,9 @@ from protocol_utils import sweep_all_virtual_oracles
 
 
 @pytest.mark.parametrize("F_fn,make_zk", [
-    (edwards_fr, False), (edwards_fr, True), (gf64, False)])
+    (edwards_fr, False),
+    pytest.param(edwards_fr, True, marks=pytest.mark.heavy),
+    (gf64, False)])
 def test_every_virtual_oracle_consistent(F_fn, make_zk):
     F = F_fn()
     n = 16

@@ -87,6 +87,7 @@ def test_aurora_snark_with_poseidon(rng):
     assert not aurora_snark_verifier(cs, primary, proof, params)
 
 
+@pytest.mark.heavy
 def test_high_alpha_poseidon_aurora_roundtrip():
     """hash_enum parity (hash_enum.hpp:21-27): the third enum — high-alpha
     Poseidon (alpha=17, near-MDS) — must drive a full Aurora SNARK."""
