@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset, device_powers
-from ..algebra.generic import fft_any, horner_eval_ints, ifft_any
+from ..algebra.generic import fft_any, ifft_any
 from ..iop.runtime import IOPProtocol, OracleHandle, VirtualOracle
 from ..relations.sparse import SparseMatrix
 from .fri import log2_field_size
@@ -70,7 +70,6 @@ class MultiLincheckVirtualOracle(VirtualOracle):
              for v in var_to_var], dtype=np.int64)
         self._p1_coeffs = None
         self._p2_coeffs = None
-        self._host_coeffs = None
 
     def set_challenge(self, alpha: int, r_M: List[int]):
         F = self.F
@@ -98,7 +97,7 @@ class MultiLincheckVirtualOracle(VirtualOracle):
         p2 = p2.at[:, jnp.asarray(self.var_to_sum)].set(acc)
         self._p1_coeffs = ifft_any(p1, Hs)
         self._p2_coeffs = ifft_any(p2, Hs)
-        self._host_coeffs = None
+        self._pt_eval_cache = {}
         self.r_M = [F.sample_int(int(r)) for r in r_M]
 
     def evaluated_contents(self, evals):
@@ -114,20 +113,33 @@ class MultiLincheckVirtualOracle(VirtualOracle):
             combined_Mz = term if combined_Mz is None else F.add(combined_Mz, term)
         return F.sub(F.mul(combined_Mz, p1_cw), F.mul(fz, p2_cw))
 
-    def _get_host_coeffs(self):
-        if self._host_coeffs is None:
-            F = self.F
-            p1 = [int(v) for v in F.to_ints(self._p1_coeffs)]
-            p2 = [int(v) for v in F.to_ints(self._p2_coeffs)]
-            self._host_coeffs = (p1, p2)
-        return self._host_coeffs
+    def _eval_p_at(self, x: int):
+        """p_alpha^1(x), p_alpha^2(x) via a cached DEVICE Horner scan — the
+        host-bigint Horner over |H| coefficients cost ~30 ms per query point
+        and dominated the Aurora verifier (round-4 cProfile)."""
+        cache = getattr(self, "_pt_eval_cache", None)
+        if cache is None:
+            cache = self._pt_eval_cache = {}
+        hit = cache.get(x)
+        if hit is not None:
+            return hit
+        import jax
+        from ..algebra.poly import horner_eval
+        F = self.F
+        fn = getattr(self, "_horner_jit", None)
+        if fn is None:
+            fn = self._horner_jit = jax.jit(
+                lambda c, xx: horner_eval(F, c, xx))
+        xl = F.from_ints([x]).reshape(F.L)
+        out = (F.to_int(fn(self._p1_coeffs, xl)),
+               F.to_int(fn(self._p2_coeffs, xl)))
+        cache[x] = out
+        return out
 
     def evaluation_at_point(self, position, x, vals):
         assert self._p1_coeffs is not None, "challenge not set"
         F = self.F
-        p1c, p2c = self._get_host_coeffs()
-        p1_x = horner_eval_ints(F, p1c, x)
-        p2_x = horner_eval_ints(F, p2c, x)
+        p1_x, p2_x = self._eval_p_at(x)
         fz_x = vals[0]
         combined = 0
         for r, v in zip(self.r_M, vals[1:]):

@@ -65,14 +65,17 @@ class AuroraSnarkParams:
 def aurora_snark_prover(r1cs: R1CS, primary: List[int], auxiliary: List[int],
                         params: AuroraSnarkParams,
                         rng: Optional[np.random.Generator] = None) -> BCSTranscript:
+    from ..utils.profiling import PROFILER
     F = r1cs.F
     iop = BCSProver(F, params.bcs_params())
-    iop_params = params.iop_params(F, r1cs.num_constraints, r1cs.num_variables)
-    aurora = AuroraIOP(iop, r1cs, iop_params, rng=rng)
-    aurora.register_interactions()
-    iop.seal_interaction_registrations()
-    aurora.register_queries()
-    iop.seal_query_registrations()
+    with PROFILER.block("registration"):
+        iop_params = params.iop_params(F, r1cs.num_constraints,
+                                       r1cs.num_variables)
+        aurora = AuroraIOP(iop, r1cs, iop_params, rng=rng)
+        aurora.register_interactions()
+        iop.seal_interaction_registrations()
+        aurora.register_queries()
+        iop.seal_query_registrations()
     aurora.produce_proof(primary, auxiliary)
     return iop.get_transcript()
 
