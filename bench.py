@@ -75,8 +75,9 @@ t0 = time.time()
 with prof.block("warmup_proof"):
     # first proof pays all remote compiles; persistently cached after
     proof = aurora_snark_prover(cs, primary, aux, params)
+warm_s = time.time() - t0
 blob = proof.serialize()
-print(json.dumps({{"stage": "warm", "warm_prover_s": time.time() - t0,
+print(json.dumps({{"stage": "warm", "warm_prover_s": warm_s,
                    "argument_bytes": len(blob)}}), flush=True)
 prof.records.clear()  # keep only the measured proof's phase tree
 t0 = time.time()
@@ -84,15 +85,22 @@ with prof.block("aurora_prove"):
     proof = aurora_snark_prover(cs, primary, aux, params)
 dt = time.time() - t0
 print(json.dumps({{"stage": "prove", "prover_s": dt,
+                   "warm_prover_s": warm_s, "argument_bytes": len(blob),
+                   "profile": prof.report()}}), flush=True)
+t0 = time.time()
+ok = aurora_snark_verifier(cs, primary, proof, params)  # warm verifier jits
+warm_verify_s = time.time() - t0
+assert ok
+print(json.dumps({{"stage": "verify_warm", "prover_s": dt,
+                   "warm_prover_s": warm_s, "warm_verifier_s": warm_verify_s,
                    "argument_bytes": len(blob),
                    "profile": prof.report()}}), flush=True)
-ok = aurora_snark_verifier(cs, primary, proof, params)  # warm verifier jits
-assert ok
 t0 = time.time()
 ok = aurora_snark_verifier(cs, primary, proof, params)
 t_verify = time.time() - t0
 assert ok
 print(json.dumps({{"stage": "done", "prover_s": dt, "verifier_s": t_verify,
+                   "warm_prover_s": warm_s, "warm_verifier_s": warm_verify_s,
                    "argument_bytes": len(blob),
                    "profile": prof.report()}}), flush=True)
 """
@@ -259,6 +267,7 @@ def _sweep(log_ns):
             row = {"log_n": log_n, **(primary or {}),
                    "warm_prover_s": res.get("warm_prover_s"),
                    "verifier_s": res.get("verifier_s"),
+                   "warm_verifier_s": res.get("warm_verifier_s"),
                    "argument_bytes": res.get("argument_bytes"),
                    "profile": res.get("profile")}
         except Exception as e:  # noqa: BLE001

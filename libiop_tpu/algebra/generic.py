@@ -214,24 +214,58 @@ def lagrange_coeffs_ints_any(domain, x: int) -> List[int]:
             cache[x] = out
             return out
     z_x = vanishing_eval_int(domain, x)
-    out = []
-    for i, e in enumerate(elems):
-        zp = vanishing_derivative_int_at_element(domain, i)
-        denom = F.mul_ints(zp, F.sub_ints(x, e))
-        out.append(F.mul_ints(z_x, F.inv_int(denom)))
+    zps = _vanishing_derivative_list(domain)
+    denoms = [F.mul_ints(zps[i], F.sub_ints(x, e))
+              for i, e in enumerate(elems)]
+    invs = batch_inv_ints(F, denoms)
+    out = [F.mul_ints(z_x, v) for v in invs]
     cache[x] = out
+    return out
+
+
+def batch_inv_ints(F, vals: List[int]) -> List[int]:
+    """Montgomery's trick: invert n nonzero field ints with ONE modular
+    inversion + 3n multiplications (the verifier's host-int paths were
+    modpow-bound: ~35k pows per Aurora verify before batching)."""
+    n = len(vals)
+    prefix = [1] * n
+    acc = 1
+    for i, v in enumerate(vals):
+        prefix[i] = acc
+        acc = F.mul_ints(acc, v)
+    inv = F.inv_int(acc)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = F.mul_ints(inv, prefix[i])
+        inv = F.mul_ints(inv, vals[i])
+    return out
+
+
+def _vanishing_derivative_list(domain) -> List[int]:
+    """[Z'(e_i)] for all domain elements, memoized per domain: constant eps
+    for subspaces; h*s^{h-1}*g^{-i} for cosets (iterated multiply — no
+    per-index modpow)."""
+    hit = getattr(domain, "_zprime_list", None)
+    if hit is not None:
+        return hit
+    F = domain.field
+    h = domain.order
+    if is_additive(domain):
+        out = [linearized_vanishing(domain).epsilon] * h
+    else:
+        c = F.mul_ints(h % F.p, F.pow_int(domain.shift, h - 1))
+        g_inv = F.inv_int(domain.g)
+        out = []
+        for _ in range(h):
+            out.append(c)
+            c = F.mul_ints(c, g_inv)
+    domain._zprime_list = out
     return out
 
 
 def vanishing_derivative_int_at_element(domain, index: int) -> int:
     """Z'(e_index) for e_index the index-th domain element."""
-    F = domain.field
-    if is_additive(domain):
-        return linearized_vanishing(domain).epsilon
-    # Z'(e_i) = h * s^{h-1} * g^{-i}  (coset derivative closed form)
-    h = domain.order
-    c = F.mul_ints(h % F.p, F.pow_int(domain.shift, h - 1))
-    return F.mul_ints(c, F.inv_int(F.pow_int(domain.g, index)))
+    return _vanishing_derivative_list(domain)[index]
 
 
 def lagrange_coefficients_any(domain, alpha_int: int):

@@ -118,6 +118,14 @@ class VirtualOracle:
                             constituent_values: List[int]) -> int:
         raise NotImplementedError
 
+    def prefetch_points(self, positions: List[int], points: List[int]):
+        """Optional batch hook: called once with EVERY position this oracle
+        will be point-queried at (before any ``evaluation_at_point`` call),
+        so oracles whose pointwise math needs device work (e.g. the lincheck
+        p_alpha Horner) can run ONE batched dispatch + ONE device->host
+        transfer instead of per-point round-trips — critical over a
+        high-latency device tunnel."""
+
 
 # ---------------------------------------------------------------------------
 # the engine
@@ -326,8 +334,40 @@ class IOPProtocol:
         return ev
 
     # -- oracle access: pointwise (host ints) ------------------------------
+    def prefetch_query_point_evals(self):
+        """Resolve every registered query's position, propagate positions
+        down each virtual oracle's constituent DAG, and hand each virtual
+        oracle its full position set via ``prefetch_points`` in one batch.
+        Runs lazily before the first pointwise virtual-oracle read (all
+        challenges are set by then — queries follow the final round)."""
+        from ..utils.profiling import PROFILER
+        self._prefetched_points = True
+        with PROFILER.block("prefetch_point_evals"):
+            self._prefetch_query_point_evals()
+
+    def _prefetch_query_point_evals(self):
+        pos_by_vid: Dict[int, set] = {}
+
+        def collect(h: OracleHandle, pos: int):
+            if not h.virtual:
+                return
+            pos_by_vid.setdefault(h.id, set()).add(pos)
+            for c in self.virtual_regs[h.id].constituents:
+                collect(c, pos)
+
+        for oracle_h, pos_h in self.query_regs:
+            collect(oracle_h, self.obtain_query_position(pos_h))
+        for vid, poss in pos_by_vid.items():
+            reg = self.virtual_regs[vid]
+            dom = self.get_domain(reg.domain)
+            ordered = sorted(poss)
+            reg.oracle.prefetch_points(
+                ordered, [dom.element_by_index_int(p) for p in ordered])
+
     def get_oracle_evaluation_at_position(self, handle: OracleHandle,
                                           position: int) -> int:
+        if handle.virtual and not getattr(self, "_prefetched_points", False):
+            self.prefetch_query_point_evals()
         key = (handle.id, handle.virtual, position)
         if key in self._pointwise_cache:
             return self._pointwise_cache[key]

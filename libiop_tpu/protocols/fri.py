@@ -181,19 +181,32 @@ def fold_codeword(F, evals, domain: MultiplicativeCoset, eta: int, x_int: int):
     return fn(evals, x)
 
 
+_COSET_INTERP_CONSTS = {}
+
+
 def interpolate_coset_at_point_ints(F, coset_values: List[int],
                                     coset_shift: int, eta: int, x: int) -> int:
-    """Host-int mirror of one multiplicative coset's fold (verifier side)."""
+    """Host-int mirror of one multiplicative coset's fold (verifier side).
+    The per-(field, eta) constants — the order-2^eta root's power table and
+    1/2^eta — are cached so each call costs ONE modular inversion (of the
+    coset shift) plus O(c^2) multiplications."""
     c = 1 << eta
     p = F.p
-    g = pow(F.root_of_unity, 1 << (F.two_adicity - eta), p)
-    c_inv = pow(c, p - 2, p)
+    key = (p, eta)
+    consts = _COSET_INTERP_CONSTS.get(key)
+    if consts is None:
+        g = pow(F.root_of_unity, 1 << (F.two_adicity - eta), p)
+        gpows = [pow(g, i, p) for i in range(c)]  # g has order c
+        consts = _COSET_INTERP_CONSTS[key] = (gpows, pow(c, p - 2, p))
+    gpows, c_inv = consts
     x_over_h = x * pow(coset_shift, p - 2, p) % p
     total = 0
+    xt = 1
     for t in range(c):
-        a_t = sum(coset_values[k] * pow(g, (-t * k) % (p - 1), p)
+        a_t = sum(coset_values[k] * gpows[(-t * k) % c]
                   for k in range(c)) * c_inv % p
-        total = (total + a_t * pow(x_over_h, t, p)) % p
+        total = (total + a_t * xt) % p
+        xt = xt * x_over_h % p
     return total
 
 
@@ -429,10 +442,12 @@ class FRIProtocol:
 
     # -- verification ------------------------------------------------------
     def verifier_predicate(self) -> bool:
+        from ..utils.profiling import PROFILER
         ok = True
-        for qset in self.query_sets:
-            if not self._predicate_for_query_set(qset):
-                ok = False
+        with PROFILER.block("fri_verifier_queries"):
+            for qset in self.query_sets:
+                if not self._predicate_for_query_set(qset):
+                    ok = False
         return ok
 
     def _predicate_for_query_set(self, qset) -> bool:

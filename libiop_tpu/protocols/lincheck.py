@@ -47,6 +47,24 @@ class LincheckParams:
         self.repetitions = max(1, int(reps))
 
 
+_HORNER_PAIR_JITS = {}
+
+
+def _horner_pair_jit(F):
+    """Process-global jitted (p1(x), p2(x)) batch Horner, keyed by field.
+    Caching on the per-proof oracle instance retraced the scan body every
+    verifier call (~4 s of pure-Python tracing, round-4 cProfile)."""
+    fn = _HORNER_PAIR_JITS.get(F.p)
+    if fn is None:
+        import jax
+        from ..algebra.poly import horner_eval
+
+        fn = _HORNER_PAIR_JITS[F.p] = jax.jit(
+            lambda c1, c2, xx: (horner_eval(F, c1, xx),
+                                horner_eval(F, c2, xx)))
+    return fn
+
+
 class MultiLincheckVirtualOracle(VirtualOracle):
     """q(x) as above; constituents [fz, fAz, fBz, fCz]."""
 
@@ -72,6 +90,11 @@ class MultiLincheckVirtualOracle(VirtualOracle):
         self._p2_coeffs = None
 
     def set_challenge(self, alpha: int, r_M: List[int]):
+        from ..utils.profiling import PROFILER
+        with PROFILER.block("lincheck_set_challenge"):
+            self._set_challenge(alpha, r_M)
+
+    def _set_challenge(self, alpha: int, r_M: List[int]):
         F = self.F
         Hs = self.summation_domain
         alpha_l = F.from_ints([alpha]).reshape(F.L)
@@ -113,27 +136,36 @@ class MultiLincheckVirtualOracle(VirtualOracle):
             combined_Mz = term if combined_Mz is None else F.add(combined_Mz, term)
         return F.sub(F.mul(combined_Mz, p1_cw), F.mul(fz, p2_cw))
 
+    def prefetch_points(self, positions, points):
+        """Batch p_alpha^{1,2} at EVERY query point in ONE device Horner
+        dispatch + ONE device->host transfer (a per-point round-trip costs
+        ~50-200 ms through the remote-TPU tunnel; with ~10^2 distinct query
+        points that dominated the whole Aurora verifier)."""
+        F = self.F
+        fn = _horner_pair_jit(F)
+        # pad to the next power of two so repeated proofs with slightly
+        # different query counts reuse one compiled shape
+        n = len(points)
+        m = 1 << max(0, (n - 1).bit_length())
+        xl = F.from_ints(list(points) + [0] * (m - n))
+        p1, p2 = fn(self._p1_coeffs, self._p2_coeffs, xl)
+        ints1, ints2 = F.to_ints(p1), F.to_ints(p2)
+        for x, a, b in zip(points, ints1, ints2):
+            self._pt_eval_cache[int(x)] = (int(a), int(b))
+
     def _eval_p_at(self, x: int):
-        """p_alpha^1(x), p_alpha^2(x) via a cached DEVICE Horner scan — the
-        host-bigint Horner over |H| coefficients cost ~30 ms per query point
-        and dominated the Aurora verifier (round-4 cProfile)."""
+        """p_alpha^1(x), p_alpha^2(x): served from the ``prefetch_points``
+        batch; the fallback path (interactive simulation querying positions
+        that were never registered) pays one device Horner round-trip."""
         cache = getattr(self, "_pt_eval_cache", None)
         if cache is None:
             cache = self._pt_eval_cache = {}
         hit = cache.get(x)
         if hit is not None:
             return hit
-        import jax
-        from ..algebra.poly import horner_eval
-        F = self.F
-        fn = getattr(self, "_horner_jit", None)
-        if fn is None:
-            fn = self._horner_jit = jax.jit(
-                lambda c, xx: horner_eval(F, c, xx))
-        xl = F.from_ints([x]).reshape(F.L)
-        out = (F.to_int(fn(self._p1_coeffs, xl)),
-               F.to_int(fn(self._p2_coeffs, xl)))
-        cache[x] = out
+        self.prefetch_points([0], [x])
+        out = self._pt_eval_cache[x]
+        # the single-point fallback cached under key points[0]=x already
         return out
 
     def evaluation_at_point(self, position, x, vals):

@@ -83,18 +83,23 @@ def aurora_snark_prover(r1cs: R1CS, primary: List[int], auxiliary: List[int],
 def aurora_snark_verifier(r1cs: R1CS, primary: List[int],
                           transcript: BCSTranscript,
                           params: AuroraSnarkParams) -> bool:
+    from ..utils.profiling import PROFILER
     F = r1cs.F
     iop = BCSVerifier(F, params.bcs_params(), transcript)
-    iop_params = params.iop_params(F, r1cs.num_constraints, r1cs.num_variables)
-    aurora = AuroraIOP(iop, r1cs, iop_params)
-    aurora.register_interactions()
-    iop.seal_interaction_registrations()
-    aurora.register_queries()
-    iop.seal_query_registrations()
-    if not iop.transcript_is_valid():
-        return False
-    iop.finalize_query_positions()
+    with PROFILER.block("verifier_registration"):
+        iop_params = params.iop_params(F, r1cs.num_constraints,
+                                       r1cs.num_variables)
+        aurora = AuroraIOP(iop, r1cs, iop_params)
+        aurora.register_interactions()
+        iop.seal_interaction_registrations()
+        aurora.register_queries()
+        iop.seal_query_registrations()
+    with PROFILER.block("verifier_transcript_valid"):
+        if not iop.transcript_is_valid():
+            return False
+        iop.finalize_query_positions()
     try:
-        return aurora.verifier_predicate(primary)
+        with PROFILER.block("verifier_predicate"):
+            return aurora.verifier_predicate(primary)
     except BCSVerificationError:
         return False
