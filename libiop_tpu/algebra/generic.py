@@ -134,25 +134,60 @@ def _vanishing_ints_over(H, L) -> List[int]:
     return out * (N // distinct)
 
 
+#: memo for DEVICE-RESIDENT derived arrays (Z_H evals, inverse elements,
+#: x^delta tables ...), keyed by the domains' VALUE identities — domains are
+#: recreated per proof but these arrays are pure functions of (H, L), and the
+#: fused-DAG jit passes them as arguments, so they must live in HBM once, not
+#: re-upload 10s of MB through the tunnel every proof.  Byte-bounded FIFO.
+_DEVICE_ARRAY_MEMO: dict = {}
+_DEVICE_MEMO_LIMIT_BYTES = 2 << 30
+
+
+def device_memo(key, compute):
+    out = _DEVICE_ARRAY_MEMO.get(key)
+    if out is None:
+        out = jnp.asarray(compute())
+        total = sum(v.nbytes for v in _DEVICE_ARRAY_MEMO.values())
+        while _DEVICE_ARRAY_MEMO and \
+                total + out.nbytes > _DEVICE_MEMO_LIMIT_BYTES:
+            old = _DEVICE_ARRAY_MEMO.pop(next(iter(_DEVICE_ARRAY_MEMO)))
+            total -= old.nbytes
+        _DEVICE_ARRAY_MEMO[key] = out
+    return out
+
+
+def _vanishing_memoized(tag, H, L, compute):
+    return device_memo((tag, H._key(), L._key()), compute)
+
+
 def vanishing_evals_over_any(H, L):
-    """(limbs, |L|) device evaluations of Z_H over L."""
+    """(limbs, |L|) device evaluations of Z_H over L (memoized)."""
     if is_additive(H):
-        return jnp.asarray(H.field.from_ints_np(_vanishing_ints_over(H, L)))
-    return mpoly.vanishing_evals_over(H, L)
+        return _vanishing_memoized(
+            "z", H, L,
+            lambda: jnp.asarray(H.field.from_ints_np(_vanishing_ints_over(H, L))))
+    return _vanishing_memoized("z", H, L,
+                               lambda: mpoly.vanishing_evals_over(H, L))
 
 
 def vanishing_inverse_evals_over_any(H, L):
-    """1/Z_H over L (L disjoint from H).  Exploits the k-to-1 structure:
-    only the distinct values are inverted (host ints), then tiled."""
+    """1/Z_H over L (L disjoint from H; memoized).  Exploits the k-to-1
+    structure: only the distinct values are inverted (host ints), then
+    tiled."""
     F = H.field
-    if is_additive(H):
+
+    def _additive():
         vals = _vanishing_ints_over(H, L)
         uniq = {}
         for v in vals:
             if v not in uniq:
                 uniq[v] = F.inv_int(v)
         return jnp.asarray(F.from_ints_np([uniq[v] for v in vals]))
-    return mpoly.vanishing_inverse_evals_over(H, L)
+
+    if is_additive(H):
+        return _vanishing_memoized("zinv", H, L, _additive)
+    return _vanishing_memoized(
+        "zinv", H, L, lambda: mpoly.vanishing_inverse_evals_over(H, L))
 
 
 def mul_by_vanishing_any(coeffs, H):

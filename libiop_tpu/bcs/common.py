@@ -121,15 +121,28 @@ _DEVICE_LEAF_JIT: dict = {}
 
 
 def device_leaf_digests(F, oracle_evals_list, domain, coset_size: int,
-                        digest_bytes: int):
+                        digest_bytes: int, salts: Optional[bytes] = None,
+                        build_tree: bool = False):
     """Full-device leaf pipeline: canonicalize+pack -> per-leaf word layout
     -> tag-prefixed batched BLAKE2b — one jitted dispatch, digests d2h only.
+
+    zk trees (merkle_tree.tcc:37-67): ``salts`` is the host-generated secret
+    blob (num_leaves * salt_bytes, word-aligned); it ships to HBM ONCE and
+    each leaf hashes tag || block || salt on device — same stream the host
+    path feeds hashlib, so digests are bit-identical.
+
     Returns (leaf_digests: List[bytes], DeviceLeafBlocks) or None when the
-    config is unsupported (odd-limb prime field, odd digest width)."""
+    config is unsupported (odd-limb prime field, odd digest width).
+
+    With ``build_tree`` the same dispatch also hashes ALL Merkle levels in
+    HBM (device_blake2b.merkle_heap_words) and the return is
+    (root: bytes, heap_dev, DeviceLeafBlocks): only 32 root bytes cross to
+    the host at commit time; queried aux digests are gathered lazily at
+    transcript assembly."""
     import jax
     from ..parallel.mesh import device_fetch
     from .device_blake2b import (blake2b_words, leaf_words_layout,
-                                 prefix_tag_words)
+                                 merkle_heap_words, prefix_tag_words)
     if not oracle_evals_list or digest_bytes % 4 != 0:
         return None
     prime = hasattr(F, "p")
@@ -143,11 +156,20 @@ def device_leaf_digests(F, oracle_evals_list, domain, coset_size: int,
     nw = O * c * L2
     block_len = 4 * nw
     additive = domain.kind == "affine_subspace"
-    key = (getattr(F, "name", None), O, c, N, additive, digest_bytes,
-           tuple(e.shape for e in oracle_evals_list))
+    salt_words = None
+    sw = 0
+    if salts is not None:
+        sb = len(salts) // num_leaves
+        if sb % 4 != 0 or len(salts) != num_leaves * sb:
+            return None
+        sw = sb // 4
+        salt_words = jnp.asarray(np.frombuffer(salts, "<u4")
+                                 .reshape(num_leaves, sw))
+    key = (getattr(F, "name", None), O, c, N, additive, digest_bytes, sw,
+           build_tree, tuple(e.shape for e in oracle_evals_list))
     fn = _DEVICE_LEAF_JIT.get(key)
     if fn is None:
-        def _pipeline(*evs):
+        def _pipeline(sws, *evs):
             stacked = jnp.stack(evs, axis=1)
             if prime:
                 cl = F.to_canonical_limbs(stacked)
@@ -155,11 +177,24 @@ def device_leaf_digests(F, oracle_evals_list, domain, coset_size: int,
             else:
                 packed = stacked
             w = leaf_words_layout(packed, num_leaves, c, additive)
-            digests = blake2b_words(prefix_tag_words(w, 0x00),
-                                    block_len + 1, digest_bytes)
+            hw = w if sws is None else jnp.concatenate([w, sws], axis=1)
+            digests = blake2b_words(prefix_tag_words(hw, 0x00),
+                                    block_len + 4 * sw + 1, digest_bytes)
+            if build_tree:
+                heap = merkle_heap_words(digests, digest_bytes)
+                return heap[1], heap, w
             return digests, w
-        fn = _DEVICE_LEAF_JIT[key] = jax.jit(_pipeline)
-    digests_dev, words_dev = fn(*oracle_evals_list)
+        if sw:
+            fn = jax.jit(_pipeline)
+        else:
+            fn = jax.jit(lambda *evs: _pipeline(None, *evs))
+        _DEVICE_LEAF_JIT[key] = fn
+    args = ((salt_words,) if sw else ()) + tuple(oracle_evals_list)
+    if build_tree:
+        root_dev, heap_dev, words_dev = fn(*args)
+        root = device_fetch(root_dev).astype("<u4").tobytes()[:digest_bytes]
+        return root, heap_dev, DeviceLeafBlocks(words_dev, block_len)
+    digests_dev, words_dev = fn(*args)
     dh = device_fetch(digests_dev).astype("<u4")
     blob = dh.tobytes()
     leaf_digests = [blob[k * digest_bytes:(k + 1) * digest_bytes]

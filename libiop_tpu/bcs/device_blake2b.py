@@ -167,6 +167,27 @@ def blake2b_words(words, msg_bytes: int, digest_bytes: int):
     return jnp.stack(out, axis=1)
 
 
+def merkle_heap_words(leaf_digest_words, digest_bytes: int):
+    """(n, dw) leaf digest words -> (2n, dw) uint32 heap words built ENTIRELY
+    on device: heap[1] = root, heap[n:] = leaves, heap[0] = zeros; each
+    parent = BLAKE2b(0x01 || left || right) (the NODE_TAG domain separation
+    of bcs/hashing.py).  One graph holds all log2(n) levels, so committing a
+    tree costs ONE dispatch and the d2h is the 32-byte root instead of n
+    digests (the per-round digest transfer dominated FRI commit time through
+    the remote-TPU tunnel)."""
+    n, dw = leaf_digest_words.shape
+    levels = [leaf_digest_words]
+    cur = leaf_digest_words
+    while cur.shape[0] > 1:
+        m = cur.shape[0]
+        pairs = cur.reshape(m // 2, 2 * dw)
+        tagged = prefix_tag_words(pairs, 0x01)
+        cur = blake2b_words(tagged, 1 + 2 * digest_bytes, digest_bytes)
+        levels.append(cur)
+    heap = [jnp.zeros((1, dw), _U32)] + levels[::-1]
+    return jnp.concatenate(heap, axis=0)
+
+
 def leaf_words_layout(packed, num_leaves: int, coset_size: int,
                       additive: bool):
     """(L2, O, N) packed canonical words -> (num_leaves, O*c*L2) per-leaf

@@ -26,6 +26,12 @@ from .hashing import Blake2bHashing
 
 
 class MerkleTree:
+    #: device-resident (2n, dw) uint32 heap words (device-built trees only);
+    #: `nodes` is None in that case and digests are gathered lazily
+    _heap_dev = None
+    _digest_bytes = None
+    _root_bytes = None
+
     def __init__(self, hasher: Blake2bHashing, leaf_blocks: List[bytes],
                  make_zk: bool = False, _salts: Optional[List[bytes]] = None):
         n = len(leaf_blocks)
@@ -86,17 +92,20 @@ class MerkleTree:
         return nodes
 
     @classmethod
-    def from_leaf_digests(cls, hasher, leaf_digests: List[bytes]
+    def from_leaf_digests(cls, hasher, leaf_digests: List[bytes],
+                          salts: Optional[List[bytes]] = None
                           ) -> "MerkleTree":
-        """Build a (non-zk) tree from PRECOMPUTED leaf digests — the
-        device-BLAKE2b path hashes leaves in HBM and ships only digests."""
+        """Build a tree from PRECOMPUTED leaf digests — the device-BLAKE2b
+        path hashes leaves in HBM and ships only digests.  For zk trees the
+        caller generated the salts (host secret randomness), hashed them
+        into the device digests, and passes them here for reveal_salts."""
         n = len(leaf_digests)
         assert n >= 1 and (n & (n - 1)) == 0
         mt = cls.__new__(cls)
         mt.hasher = hasher
         mt.num_leaves = n
-        mt.make_zk = False
-        mt.salts = None
+        mt.make_zk = salts is not None
+        mt.salts = salts
         mt.nodes = cls._build_nodes(hasher, n, leaf_digests)
         return mt
 
@@ -116,18 +125,50 @@ class MerkleTree:
         assert len(mt.nodes) == 2 * num_leaves
         return mt
 
+    @classmethod
+    def from_device_heap(cls, hasher, num_leaves: int, heap_dev,
+                         root: bytes, salts: Optional[List[bytes]] = None
+                         ) -> "MerkleTree":
+        """Wrap a tree whose every level was hashed ON DEVICE
+        (bcs/device_blake2b.merkle_heap_words): only the root crossed to the
+        host; auxiliary digests for multi-proofs are gathered lazily at
+        transcript assembly (one batched gather per tree)."""
+        mt = cls.__new__(cls)
+        mt.hasher = hasher
+        mt.num_leaves = num_leaves
+        mt.make_zk = salts is not None
+        mt.salts = salts
+        mt.nodes = None
+        mt._heap_dev = heap_dev
+        mt._digest_bytes = hasher.digest_bytes
+        mt._root_bytes = root
+        return mt
+
+    def materialize_nodes(self) -> List[bytes]:
+        """Host node list (heap layout) — fetches the device heap once;
+        used by the Fractal index checkpoint serialization."""
+        if self.nodes is None:
+            from ..parallel.mesh import device_fetch
+            rows = np.asarray(device_fetch(self._heap_dev)).astype("<u4")
+            blob = rows.tobytes()
+            w = rows.shape[1] * 4
+            db = self._digest_bytes
+            self.nodes = [blob[k * w:k * w + db]
+                          for k in range(rows.shape[0])]
+            self.nodes[0] = b""
+        return self.nodes
+
     @property
     def root(self) -> bytes:
-        return self.nodes[1]
+        return self._root_bytes if self.nodes is None else self.nodes[1]
 
-    def multi_proof(self, positions: Sequence[int]) -> List[bytes]:
-        """Pruned auxiliary digests for the given (unsorted, possibly
-        duplicated) leaf positions.  Deterministic order: bottom-up layers,
-        left-to-right within a layer."""
-        n = self.num_leaves
-        aux: List[bytes] = []
-        frontier = sorted(set(positions))
-        node_ids = [n + p for p in frontier]
+    @staticmethod
+    def aux_node_ids(num_leaves: int, positions: Sequence[int]) -> List[int]:
+        """Heap ids of the pruned multi-proof's auxiliary digests, in the
+        canonical emission order (bottom-up layers, left-to-right)."""
+        n = num_leaves
+        ids: List[int] = []
+        node_ids = [n + p for p in sorted(set(positions))]
         while node_ids and node_ids[0] > 1:
             known = set(node_ids)
             parents = []
@@ -137,10 +178,41 @@ class MerkleTree:
                     if nid < sib:  # emit pair's parent once
                         parents.append(nid // 2)
                 else:
-                    aux.append(self.nodes[sib])
+                    ids.append(sib)
                     parents.append(nid // 2)
             node_ids = sorted(set(parents))
-        return aux
+        return ids
+
+    def multi_proof_async(self, positions: Sequence[int]):
+        """Device-tree path: dispatch the aux-digest gather WITHOUT syncing
+        (transcript assembly batches every tree's gather into one fetch).
+        Returns None for host trees (multi_proof is pure host work there)."""
+        if self.nodes is not None:
+            return None
+        import jax.numpy as jnp
+        ids = self.aux_node_ids(self.num_leaves, positions)
+        if not ids:
+            return jnp.zeros((0, self._heap_dev.shape[1]), jnp.uint32)
+        return jnp.take(self._heap_dev,
+                        jnp.asarray(np.asarray(ids, np.int64)), axis=0)
+
+    def multi_proof_rows_to_bytes(self, rows) -> List[bytes]:
+        rows = np.asarray(rows).astype("<u4")
+        blob = rows.tobytes()
+        w = rows.shape[1] * 4
+        db = self._digest_bytes
+        return [blob[k * w:k * w + db] for k in range(rows.shape[0])]
+
+    def multi_proof(self, positions: Sequence[int]) -> List[bytes]:
+        """Pruned auxiliary digests for the given (unsorted, possibly
+        duplicated) leaf positions.  Deterministic order: bottom-up layers,
+        left-to-right within a layer."""
+        if self.nodes is None:
+            from ..parallel.mesh import device_fetch
+            rows = self.multi_proof_async(positions)
+            return self.multi_proof_rows_to_bytes(device_fetch(rows))
+        return [self.nodes[i]
+                for i in self.aux_node_ids(self.num_leaves, positions)]
 
     def reveal_salts(self, positions: Sequence[int]) -> List[bytes]:
         assert self.make_zk

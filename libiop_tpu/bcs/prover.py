@@ -64,20 +64,34 @@ class BCSProver(IOPProtocol):
                 evals = [self.oracle_evals[i] for i in oracle_ids]
                 make_zk = any(self.oracle_regs[i].make_zk for i in oracle_ids)
                 dev = None
-                if (not make_zk
-                        and getattr(self.hasher, "name", "") == "blake2b"):
+                salts = None
+                if getattr(self.hasher, "name", "") == "blake2b":
                     # device-BLAKE2b path: leaves hashed in HBM, digests-only
-                    # d2h; blocks fetched lazily for the queried positions
+                    # d2h; blocks fetched lazily for the queried positions.
+                    # zk trees: salts are drawn host-side (secret randomness
+                    # never derives from device state), shipped to HBM once
+                    # and appended to each leaf inside the same dispatch
+                    # (merkle_tree.tcc:37-67 semantics)
                     from .common import device_leaf_digests
+                    salt_blob = None
+                    if make_zk:
+                        import secrets
+                        sb = self.hasher.salt_bytes
+                        nl = dom.num_elements() // rp.quotient_map_size
+                        salt_blob = secrets.token_bytes(nl * sb)
+                        salts = [salt_blob[i * sb:(i + 1) * sb]
+                                 for i in range(nl)]
                     with PROFILER.block(f"leaf_hash_dev_r{rnd}_d{dom_id}"):
                         dev = device_leaf_digests(
                             self.F, evals, dom, rp.quotient_map_size,
-                            self.hasher.digest_bytes)
+                            self.hasher.digest_bytes, salts=salt_blob,
+                            build_tree=True)
                 if dev is not None:
-                    leaf_digests, blocks = dev
+                    root, heap_dev, blocks = dev
                     with PROFILER.block(f"merkle_tree_r{rnd}_d{dom_id}"):
-                        mt = MerkleTree.from_leaf_digests(
-                            self.hasher, leaf_digests)
+                        nl = dom.num_elements() // rp.quotient_map_size
+                        mt = MerkleTree.from_device_heap(
+                            self.hasher, nl, heap_dev, root, salts=salts)
                 else:
                     with PROFILER.block(f"leaf_serialize_r{rnd}_d{dom_id}"):
                         blocks = serialize_leaf_blocks(
@@ -170,35 +184,46 @@ class BCSProver(IOPProtocol):
             # bcs_common.tcc:700-716)
             per_tree.setdefault(key, set()).add(
                 dom.coset_index(pos, rp.quotient_map_size))
-        # two-phase gather: dispatch EVERY tree's device gather (async), then
-        # fetch them ALL in one device_get — per-tree round-trips through the
-        # remote-TPU tunnel dominated assembly otherwise
+        # two-phase gather: dispatch EVERY tree's device gathers (leaf rows
+        # AND aux digests of device-built trees, async), then fetch them ALL
+        # in one device_get — per-tree round-trips through the remote-TPU
+        # tunnel dominated assembly otherwise
         import jax as _jax
         pending = {}
         for key, leaf_positions in sorted(per_tree.items()):
             positions = sorted(leaf_positions)
             blocks = self.mt_leaf_blocks[key]
-            if hasattr(blocks, "gather_async"):
-                pending[key] = (positions, blocks.gather_async(positions))
-            else:
-                pending[key] = (positions, None)
-        dev_rows = {k: rd for k, (_, rd) in pending.items() if rd is not None}
+            rows = blocks.gather_async(positions) \
+                if hasattr(blocks, "gather_async") else None
+            aux = self.merkle_trees[key].multi_proof_async(positions)
+            pending[key] = (positions, rows, aux)
+        dev_arrays = {}
+        for k, (_, rows, aux) in pending.items():
+            if rows is not None:
+                dev_arrays[(k, "rows")] = rows
+            if aux is not None:
+                dev_arrays[(k, "aux")] = aux
         if all(getattr(rd, "is_fully_addressable", True)
-               for rd in dev_rows.values()):
-            fetched = _jax.device_get(dev_rows)
+               for rd in dev_arrays.values()):
+            fetched = _jax.device_get(dev_arrays)
         else:  # multi-process global arrays: allgather-aware per-array path
             from ..parallel.mesh import device_fetch
-            fetched = {k: device_fetch(rd) for k, rd in dev_rows.items()}
-        for key, (positions, rows_dev) in pending.items():
+            fetched = {k: device_fetch(rd) for k, rd in dev_arrays.items()}
+        for key, (positions, rows_dev, aux_dev) in pending.items():
             mt = self.merkle_trees[key]
             blocks = self.mt_leaf_blocks[key]
             if rows_dev is not None:
-                revealed = blocks.rows_to_bytes(fetched[key])
+                revealed = blocks.rows_to_bytes(fetched[(key, "rows")])
             else:
                 revealed = [blocks[p] for p in positions]
+            if aux_dev is not None:
+                aux_digests = mt.multi_proof_rows_to_bytes(
+                    fetched[(key, "aux")])
+            else:
+                aux_digests = mt.multi_proof(positions)
             t.mt_proofs[key] = MTProof(
                 positions=positions,
                 leaf_blocks=revealed,
-                aux_digests=mt.multi_proof(positions),
+                aux_digests=aux_digests,
                 salts=mt.reveal_salts(positions) if mt.make_zk else None)
         return t

@@ -126,10 +126,40 @@ class VirtualOracle:
         transfer instead of per-point round-trips — critical over a
         high-latency device tunnel."""
 
+    # -- fused-DAG tracing interface (optional) ----------------------------
+    # Eager `evaluated_contents` costs one tunnel dispatch per jnp op; a DAG
+    # of virtual oracles (the LDT-combined codeword) costs dozens.  Oracles
+    # that implement the triple below can be collapsed into ONE jitted
+    # dispatch by `IOPProtocol.get_fused_oracle_evaluations`:
+    #   * traced_aux(): every challenge-dependent or large-constant device
+    #     array the computation needs, as a list (traced ARGUMENTS — never
+    #     close over device arrays inside traced_contents: closure arrays
+    #     bake into the HLO as constants, so each new challenge would be a
+    #     new graph and a guaranteed remote-compile cache miss);
+    #   * traced_contents(aux, constituent_evals): the pure computation;
+    #   * traced_sig(): static structure key (the jit is cached per
+    #     (field, DAG structure, shapes) across proofs).
+    def traced_aux(self) -> Optional[List[jax.Array]]:
+        """Return the aux device arrays, or None if this oracle does not
+        support fused tracing (callers fall back to eager evaluation)."""
+        return None
+
+    def traced_sig(self) -> tuple:
+        return ()
+
+    def traced_contents(self, aux: List[jax.Array],
+                        constituent_evals: List[jax.Array]) -> jax.Array:
+        raise NotImplementedError
+
 
 # ---------------------------------------------------------------------------
 # the engine
 # ---------------------------------------------------------------------------
+#: process-global fused-DAG executables, keyed by (field, structure, shapes) —
+#: reused across proofs so a proof after the first pays zero tracing/compiling
+_FUSED_DAG_JITS: Dict[tuple, Callable] = {}
+
+
 class IOPProtocol:
     """Base engine = interactive simulation (prover and verifier in-process,
     fresh randomness).  BCS subclasses override `_fresh_verifier_randomness`,
@@ -332,6 +362,88 @@ class IOPProtocol:
         ev = reg.oracle.evaluated_contents(constituent_evals)
         self._virtual_evals_cache[handle.id] = ev
         return ev
+
+    def get_fused_oracle_evaluations(self, handles: Sequence[OracleHandle]
+                                     ) -> List[jax.Array]:
+        """Evaluate several virtual oracles' constituent DAGs in ONE jitted
+        device dispatch (vs one tunnel round-trip per eager jnp op — the
+        round-4 profile showed the eager DAG walk costing 0.23-0.63 s per
+        prove as `fri_combine_inputs`).
+
+        Requirements: every uncached virtual node in the DAGs implements the
+        traced_* interface.  Falls back to per-handle eager evaluation
+        otherwise.  The jitted program is cached process-globally per
+        (field, DAG structure, leaf/aux shapes) — challenge data flows in
+        through `traced_aux` arguments, so repeated proofs of one shape hit
+        the same compiled executable."""
+        roots = list(handles)
+        order: List[int] = []          # virtual ids in postorder
+        node_cons: List[List[tuple]] = []  # per node: ("leaf"/"v", index)
+        leaf_keys: List[tuple] = []    # ("r", oracle_id) | ("vc", virt_id)
+        leaf_index: Dict[tuple, int] = {}
+        vindex: Dict[int, int] = {}
+        fusable = True
+
+        def leaf(key) -> tuple:
+            idx = leaf_index.get(key)
+            if idx is None:
+                idx = leaf_index[key] = len(leaf_keys)
+                leaf_keys.append(key)
+            return ("leaf", idx)
+
+        def walk(h: OracleHandle):
+            nonlocal fusable
+            if not fusable:
+                return ("leaf", 0)
+            if not h.virtual:
+                return leaf(("r", h.id))
+            if h.id in self._virtual_evals_cache:
+                return leaf(("vc", h.id))
+            if h.id in vindex:
+                return ("v", vindex[h.id])
+            reg = self.virtual_regs[h.id]
+            cons = [walk(c) for c in reg.constituents]
+            if reg.oracle.traced_aux() is None:
+                fusable = False
+                return ("leaf", 0)
+            vindex[h.id] = len(order)
+            order.append(h.id)
+            node_cons.append(cons)
+            return ("v", vindex[h.id])
+
+        root_keys = [walk(h) for h in roots]
+        if not fusable or not order:
+            return [self.get_oracle_evaluations(h) for h in roots]
+        leaves = [self.oracle_evals[k[1]] if k[0] == "r"
+                  else self._virtual_evals_cache[k[1]] for k in leaf_keys]
+        oracles = [self.virtual_regs[vid].oracle for vid in order]
+        auxes = [o.traced_aux() for o in oracles]
+        sig = (self.F.name,
+               tuple((type(o).__qualname__, o.traced_sig(), tuple(cons))
+                     for o, cons in zip(oracles, node_cons)),
+               tuple(root_keys),
+               tuple(tuple(x.shape) for x in leaves),
+               tuple(tuple(tuple(a.shape) for a in ax) for ax in auxes))
+        fn = _FUSED_DAG_JITS.get(sig)
+        if fn is None:
+            cons_static = [list(c) for c in node_cons]
+            roots_static = list(root_keys)
+
+            def run(leaves_in, auxes_in):
+                vals: List[jax.Array] = []
+                for k in range(len(oracles)):
+                    cv = [leaves_in[j] if kind == "leaf" else vals[j]
+                          for kind, j in cons_static[k]]
+                    vals.append(oracles[k].traced_contents(auxes_in[k], cv))
+                return tuple(leaves_in[j] if kind == "leaf" else vals[j]
+                             for kind, j in roots_static)
+
+            fn = _FUSED_DAG_JITS[sig] = jax.jit(run)
+        results = list(fn(leaves, auxes))
+        for h, res in zip(roots, results):
+            if h.virtual:
+                self._virtual_evals_cache[h.id] = res
+        return results
 
     # -- oracle access: pointwise (host ints) ------------------------------
     def prefetch_query_point_evals(self):

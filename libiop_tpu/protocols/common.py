@@ -171,6 +171,24 @@ class RandomLinearCombinationOracle(VirtualOracle):
         assert self.coefficients is not None, "challenge not yet set"
         return lazy_linear_combination(self.F, self.coefficients, evals)
 
+    # fused-DAG tracing (see iop/runtime.py VirtualOracle notes)
+    def traced_aux(self):
+        if self.coefficients is None:
+            return None
+        return [self.F.from_ints(self.coefficients)]        # (L, n)
+
+    def traced_sig(self):
+        return (self.num_oracles,)
+
+    def traced_contents(self, aux, evals):
+        F = self.F
+        (carr,) = aux
+        acc = None
+        for i, ev in enumerate(evals):
+            term = F.mul(ev, carr[:, i:i + 1])
+            acc = term if acc is None else F.add(acc, term)
+        return acc
+
     def evaluation_at_point(self, position, point_int, vals):
         assert self.coefficients is not None, "challenge not yet set"
         F = self.F

@@ -177,7 +177,8 @@ class FractalIOP:
         mt_data = {}
         for key, mt in getattr(self.iop, "merkle_trees", {}).items():
             if key[0] == 0:
-                mt_data[key] = (self.iop.mt_leaf_blocks[key], mt.nodes)
+                mt_data[key] = (self.iop.mt_leaf_blocks[key],
+                                mt.materialize_nodes())
         return (evals_map, self.protocol.multi_lincheck._index_vectors, mt_data)
 
     # -- prove / verify ----------------------------------------------------

@@ -404,9 +404,13 @@ class FRIProtocol:
         from ..utils.profiling import PROFILER
         with PROFILER.block("fri_combine_inputs"):
             # evaluating the LDT-combined virtual oracle(s) over the full
-            # codeword domain — the largest single computation in the LDT
-            base_evals = [self.iop.get_oracle_evaluations(h)
-                          for h in self.poly_handles]
+            # codeword domain — the largest single computation in the LDT.
+            # Fused: the whole constituent DAG (rowcheck, lincheck q,
+            # sumcheck g, RLC, degree bumps) collapses into ONE jitted
+            # dispatch; eager per-op dispatch through the remote tunnel cost
+            # 0.23-0.63 s/prove (round-4 profiles).
+            base_evals = self.iop.get_fused_oracle_evaluations(
+                self.poly_handles)
             for ev in base_evals:
                 if hasattr(ev, "block_until_ready"):
                     ev.block_until_ready()

@@ -59,6 +59,27 @@ class LDTReducerParams:
             1, int(math.ceil(-interactive_soundness_bits / denom)))
 
 
+def x_power_evals(F, L, delta: int):
+    """x^delta over the domain L, device-resident, memoized by VALUE
+    (domain identity, delta) across proofs.  Multiplicative: shift^delta *
+    g^{delta*k} — a strided slice of cached generator powers times one
+    scalar.  Additive: batched square-and-multiply over the element array
+    (O(log delta) squarings+muls at full width)."""
+    from ..algebra.generic import device_memo
+
+    def _compute():
+        if is_additive(L):
+            return F.pow_static(jnp.asarray(L.elements()), delta)
+        N = L.order
+        W = L.generator_powers()
+        idx = (np.arange(N, dtype=np.int64) * (delta % N)) % N
+        strided = jnp.take(jnp.asarray(W), jnp.asarray(idx), axis=1)
+        s = F.from_ints([pow(L.shift, delta, F.p)]).reshape(F.L, 1)
+        return F.mul(strided, s)
+
+    return device_memo(("xpow", L._key(), delta), _compute)
+
+
 class CombinedLDTOracle(VirtualOracle):
     """sum_i (c_i + c'_i x^{Delta_i}) f_i over the codeword domain."""
 
@@ -79,28 +100,7 @@ class CombinedLDTOracle(VirtualOracle):
                                    for c in random_coeffs]
 
     def _bump_powers(self, delta: int):
-        """x^delta over L.  Multiplicative: shift^delta * g^{delta*k} — a
-        strided slice of cached generator powers times one scalar.  Additive:
-        batched square-and-multiply over the element array (O(log delta)
-        squarings+muls at full width), cached per delta."""
-        F = self.F
-        cache = getattr(self.L, "_bump_cache", None)
-        if cache is None:
-            cache = self.L._bump_cache = {}
-        out = cache.get(delta)
-        if out is not None:
-            return out
-        if is_additive(self.L):
-            out = F.pow_static(jnp.asarray(self.L.elements()), delta)
-        else:
-            N = self.L.order
-            W = self.L.generator_powers()
-            idx = (np.arange(N, dtype=np.int64) * (delta % N)) % N
-            strided = jnp.take(W, jnp.asarray(idx), axis=1)
-            s = F.from_ints([pow(self.L.shift, delta, F.p)]).reshape(F.L, 1)
-            out = F.mul(strided, s)
-        cache[delta] = out
-        return out
+        return x_power_evals(self.F, self.L, delta)
 
     def evaluated_contents(self, evals):
         assert self.coefficients is not None, "challenge not set"
@@ -117,6 +117,41 @@ class CombinedLDTOracle(VirtualOracle):
                 cp_l = F.from_ints([cp]).reshape(F.L, 1)
                 coeff = F.add(jnp.broadcast_to(c_i, bump.shape).astype(jnp.uint32),
                               F.mul(bump, cp_l))
+                term = F.mul(ev, coeff)
+            else:
+                term = F.mul(ev, c_i)
+            acc = term if acc is None else F.add(acc, term)
+        return acc
+
+    # fused-DAG tracing (see iop/runtime.py VirtualOracle notes)
+    def traced_aux(self):
+        if self.coefficients is None:
+            return None
+        F = self.F
+        aux = [F.from_ints(self.coefficients[:self.n])]     # (L, n)
+        if self.submaximal:
+            aux.append(F.from_ints(
+                self.coefficients[self.n:self.n + len(self.submaximal)]))
+            aux.extend(self._bump_powers(self.max_degree - self.input_degrees[i])
+                       for i in self.submaximal)
+        return aux
+
+    def traced_sig(self):
+        return (self.n, tuple(self.input_degrees))
+
+    def traced_contents(self, aux, evals):
+        F = self.F
+        cs = aux[0]
+        bumps = aux[2:]
+        acc = None
+        sc = 0
+        for i, ev in enumerate(evals):
+            c_i = cs[:, i:i + 1]
+            if i in self.submaximal:
+                coeff = F.add(
+                    jnp.broadcast_to(c_i, bumps[sc].shape).astype(jnp.uint32),
+                    F.mul(bumps[sc], aux[1][:, sc:sc + 1]))
+                sc += 1
                 term = F.mul(ev, coeff)
             else:
                 term = F.mul(ev, c_i)

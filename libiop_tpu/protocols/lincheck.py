@@ -54,12 +54,12 @@ def _horner_pair_jit(F):
     """Process-global jitted (p1(x), p2(x)) batch Horner, keyed by field.
     Caching on the per-proof oracle instance retraced the scan body every
     verifier call (~4 s of pure-Python tracing, round-4 cProfile)."""
-    fn = _HORNER_PAIR_JITS.get(F.p)
+    fn = _HORNER_PAIR_JITS.get(F.name)
     if fn is None:
         import jax
         from ..algebra.poly import horner_eval
 
-        fn = _HORNER_PAIR_JITS[F.p] = jax.jit(
+        fn = _HORNER_PAIR_JITS[F.name] = jax.jit(
             lambda c1, c2, xx: (horner_eval(F, c1, xx),
                                 horner_eval(F, c2, xx)))
     return fn
@@ -120,6 +120,7 @@ class MultiLincheckVirtualOracle(VirtualOracle):
         p2 = p2.at[:, jnp.asarray(self.var_to_sum)].set(acc)
         self._p1_coeffs = ifft_any(p1, Hs)
         self._p2_coeffs = ifft_any(p2, Hs)
+        self._p_cw = None
         self._pt_eval_cache = {}
         self.r_M = [F.sample_int(int(r)) for r in r_M]
 
@@ -127,12 +128,39 @@ class MultiLincheckVirtualOracle(VirtualOracle):
         assert self._p1_coeffs is not None, "challenge not set"
         F = self.F
         fz = evals[0]
-        p1_cw = fft_any(self._p1_coeffs, self.L)
-        p2_cw = fft_any(self._p2_coeffs, self.L)
+        p1_cw, p2_cw = self._p_codewords()
         combined_Mz = None
         for m, ev in enumerate(evals[1:]):
             r_l = F.from_ints([self.r_M[m]]).reshape(F.L, 1)
             term = F.mul(ev, r_l)
+            combined_Mz = term if combined_Mz is None else F.add(combined_Mz, term)
+        return F.sub(F.mul(combined_Mz, p1_cw), F.mul(fz, p2_cw))
+
+    def _p_codewords(self):
+        """p_alpha^{1,2} codeword evaluations, computed once per challenge
+        (two degree-aware FFT dispatches)."""
+        if getattr(self, "_p_cw", None) is None:
+            self._p_cw = (fft_any(self._p1_coeffs, self.L),
+                          fft_any(self._p2_coeffs, self.L))
+        return self._p_cw
+
+    # fused-DAG tracing (see iop/runtime.py VirtualOracle notes)
+    def traced_aux(self):
+        if self._p1_coeffs is None:
+            return None
+        p1_cw, p2_cw = self._p_codewords()
+        return [p1_cw, p2_cw, self.F.from_ints(self.r_M)]
+
+    def traced_sig(self):
+        return (len(self.matrices),)
+
+    def traced_contents(self, aux, evals):
+        F = self.F
+        p1_cw, p2_cw, r_arr = aux
+        fz = evals[0]
+        combined_Mz = None
+        for m, ev in enumerate(evals[1:]):
+            term = F.mul(ev, r_arr[:, m:m + 1])
             combined_Mz = term if combined_Mz is None else F.add(combined_Mz, term)
         return F.sub(F.mul(combined_Mz, p1_cw), F.mul(fz, p2_cw))
 

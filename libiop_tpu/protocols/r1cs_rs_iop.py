@@ -61,6 +61,17 @@ class FzOracle(VirtualOracle):
         z_in = vanishing_evals_over_any(self.input_domain, self.L)
         return F.add(F.mul(fw, z_in), self._f1v_over_codeword())
 
+    # fused-DAG tracing (see iop/runtime.py VirtualOracle notes)
+    def traced_aux(self):
+        if self.primary is None:
+            return None
+        return [vanishing_evals_over_any(self.input_domain, self.L),
+                self._f1v_over_codeword()]
+
+    def traced_contents(self, aux, evals):
+        z_in, f1v = aux
+        return self.F.add(self.F.mul(evals[0], z_in), f1v)
+
     def evaluation_at_point(self, position, x, vals):
         assert self.primary is not None
         F = self.F
@@ -86,6 +97,16 @@ class RowcheckOracle(VirtualOracle):
         az, bz, cz = evals
         z_inv = vanishing_inverse_evals_over_any(self.constraint_domain, self.L)
         return F.mul(F.sub(F.mul(az, bz), cz), z_inv)
+
+    # fused-DAG tracing (see iop/runtime.py VirtualOracle notes)
+    def traced_aux(self):
+        return [vanishing_inverse_evals_over_any(self.constraint_domain,
+                                                 self.L)]
+
+    def traced_contents(self, aux, evals):
+        F = self.F
+        az, bz, cz = evals
+        return F.mul(F.sub(F.mul(az, bz), cz), aux[0])
 
     def evaluation_at_point(self, position, x, vals):
         F = self.F

@@ -76,6 +76,38 @@ class SumcheckGOracle(VirtualOracle):
             mu_l, f_evals.shape).astype(jnp.uint32)), F.mul(z_evals, h_evals))
         return F.mul(num, jnp.asarray(self.L.inverse_elements()))
 
+    # fused-DAG tracing (see iop/runtime.py VirtualOracle notes)
+    def traced_aux(self):
+        if self.claimed_sum is None:
+            return None
+        F = self.F
+        mu_l = F.from_ints([self.mu_scaled]).reshape(F.L, 1)
+        if self.additive:
+            from ..algebra.generic import device_memo
+            from .ldt_reducer import x_power_evals
+            z = device_memo(("zH_add", self.H._key(), self.L._key()),
+                            lambda: self.Z.evals_over(self.L))
+            return [z, x_power_evals(F, self.L, self.H.order - 1), mu_l]
+        from ..algebra.generic import device_memo
+        inv_x = device_memo(("inv_elems", self.L._key()),
+                            self.L.inverse_elements)
+        return [vanishing_evals_over_any(self.H, self.L), inv_x, mu_l]
+
+    def traced_sig(self):
+        return (self.additive,)
+
+    def traced_contents(self, aux, evals):
+        F = self.F
+        f_evals, h_evals = evals
+        if self.additive:
+            z, xpow, mu_l = aux
+            return F.sub(F.sub(f_evals, F.mul(xpow, mu_l)),
+                         F.mul(z, h_evals))
+        z, inv_x, mu_l = aux
+        num = F.sub(F.sub(f_evals, jnp.broadcast_to(
+            mu_l, f_evals.shape).astype(jnp.uint32)), F.mul(z, h_evals))
+        return F.mul(num, inv_x)
+
     def evaluation_at_point(self, position, x, vals):
         assert self.claimed_sum is not None, "claimed sum not set"
         F = self.F
@@ -186,7 +218,8 @@ class BatchSumcheck:
         F = self.F
         challenge = self.iop.obtain_verifier_random_message(self.challenge_handle)
         self.combined_f_oracle.set_coefficients(challenge)
-        combined_evals = self.iop.get_oracle_evaluations(self.combined_f_handle)
+        combined_evals = self.iop.get_fused_oracle_evaluations(
+            [self.combined_f_handle])[0]
         coeffs = _ifft_known_any(combined_evals, self.L, self.degree_bound)
         coeffs = coeffs[:, :max(self.degree_bound, 1)]
         mu = self._combined_claimed_sum(challenge)

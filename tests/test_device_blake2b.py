@@ -73,3 +73,72 @@ def test_device_leaf_digests_match_host_path(F_fn, kind, coset_size, rng):
     for b, j in zip(fetched, picks):
         assert b == host_blocks[j]
     assert dev_blocks[1] == host_blocks[1]
+
+
+@pytest.mark.parametrize("F_fn,kind", [(edwards_fr, "mult"),
+                                       (gf64, "additive")])
+def test_device_leaf_digests_zk_salts_match_host_path(F_fn, kind, rng):
+    """zk trees through the device path: leaf digest = H(tag||block||salt)
+    with host-generated salts, bit-identical to hashing the salted block on
+    the host (merkle_tree.tcc:37-67 semantics)."""
+    from libiop_tpu.bcs.common import device_leaf_digests, serialize_leaf_blocks
+    from libiop_tpu.bcs.hashing import Blake2bHashing
+    from libiop_tpu.algebra.generic import make_domain, element_outside_of_subset
+
+    F = F_fn()
+    dim, coset_size = 5, 2
+    if kind == "mult":
+        dom = make_domain(F, dim, shift=element_outside_of_subset(F, dim))
+    else:
+        dom = make_domain(F, dim)
+    N = dom.num_elements()
+    evals = [F.from_ints([int(x) for x in rng.integers(0, 1 << 60, size=N)])
+             for _ in range(2)]
+    hasher = Blake2bHashing(128)
+    nl = N // coset_size
+    sb = hasher.salt_bytes
+    salt_blob = bytes(rng.integers(0, 256, size=nl * sb, dtype=np.uint8))
+    host_blocks = serialize_leaf_blocks(F, evals, dom, coset_size)
+    out = device_leaf_digests(F, evals, dom, coset_size,
+                              hasher.digest_bytes, salts=salt_blob)
+    assert out is not None
+    digests, dev_blocks = out
+    for j in range(nl):
+        salt = salt_blob[j * sb:(j + 1) * sb]
+        assert digests[j] == hasher.leaf_hash(host_blocks[j] + salt)
+    # revealed blocks stay UNSALTED (salts travel separately in the proof)
+    assert dev_blocks[0] == host_blocks[0]
+
+
+def test_device_merkle_heap_matches_host_tree(rng):
+    """Full device tree build (merkle_heap_words): every heap node equals the
+    host MerkleTree's, and the lazy multi-proof equals the host multi-proof
+    + passes validate_multi_proof."""
+    from libiop_tpu.bcs.common import device_leaf_digests, serialize_leaf_blocks
+    from libiop_tpu.bcs.hashing import Blake2bHashing
+    from libiop_tpu.bcs.merkle import MerkleTree, validate_multi_proof
+    from libiop_tpu.algebra.generic import make_domain, element_outside_of_subset
+
+    F = edwards_fr()
+    dim, coset_size = 5, 2
+    dom = make_domain(F, dim, shift=element_outside_of_subset(F, dim))
+    N = dom.num_elements()
+    evals = [F.from_ints([int(x) for x in rng.integers(0, 1 << 60, size=N)])
+             for _ in range(2)]
+    hasher = Blake2bHashing(128)
+    host_blocks = serialize_leaf_blocks(F, evals, dom, coset_size)
+    host_mt = MerkleTree(hasher, host_blocks)
+    out = device_leaf_digests(F, evals, dom, coset_size, hasher.digest_bytes,
+                              build_tree=True)
+    assert out is not None
+    root, heap_dev, dev_blocks = out
+    nl = N // coset_size
+    dev_mt = MerkleTree.from_device_heap(hasher, nl, heap_dev, root)
+    assert dev_mt.root == host_mt.root
+    picks = [0, 3, nl - 1]
+    lazy_proof = dev_mt.multi_proof(picks)   # device-gather path
+    assert lazy_proof == host_mt.multi_proof(picks)
+    assert validate_multi_proof(
+        hasher, dev_mt.root, nl, picks, [host_blocks[p] for p in picks],
+        lazy_proof)
+    assert dev_mt.materialize_nodes()[1:] == host_mt.nodes[1:]
