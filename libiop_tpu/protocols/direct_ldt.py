@@ -11,7 +11,7 @@ from __future__ import annotations
 import math
 from typing import List
 
-from ..algebra.generic import horner_eval_ints, ifft_known_any
+from ..algebra.generic import ifft_known_any
 from ..iop.runtime import IOPProtocol, OracleHandle
 
 
@@ -67,12 +67,20 @@ class DirectLDT:
         self.iop.signal_prover_round_done()
 
     def verifier_predicate(self) -> bool:
-        for k, pos_h in enumerate(self.position_handles):
-            pos = self.iop.obtain_query_position(pos_h)
-            x = self.L.element_by_index_int(pos)
-            for i, ch in enumerate(self.coeff_handles):
-                coeffs = self.iop.receive_prover_message(ch)
-                val = horner_eval_ints(self.F, coeffs, x)
-                if val != self.iop.obtain_query_response(self.query_handles[k][i]):
+        # all positions x all tested polys in ONE device Horner dispatch per
+        # poly (host-int Horner cost |coeffs| modmuls per (query, poly):
+        # ~degree_bound x num_queries x instances host muls dominated the
+        # Ligero verifier)
+        from .ligero import _responses_at_positions
+        F = self.F
+        positions = [self.iop.obtain_query_position(ph)
+                     for ph in self.position_handles]
+        for i, ch in enumerate(self.coeff_handles):
+            coeffs = self.iop.receive_prover_message(ch)
+            vals = _responses_at_positions(
+                F, F.from_ints(coeffs), self.L, positions)
+            for k in range(len(positions)):
+                if vals[k] != self.iop.obtain_query_response(
+                        self.query_handles[k][i]):
                     return False
         return True

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..fields.prime import PrimeField
 from ..algebra.domains import MultiplicativeCoset
 from ..algebra.generic import (element_outside_of_subset, fft_any,
-                               horner_eval_ints, ifft_any, make_domain)
+                               ifft_any, make_domain)
 from ..iop.runtime import IOPProtocol, OracleHandle
 from ..relations.r1cs import R1CS
 from ..relations.sparse import SparseMatrix
@@ -46,6 +46,29 @@ from .fri import log2_field_size
 from .direct_ldt import DirectLDTParams, DirectLDT
 from .ldt_reducer import (LDTInstanceReducer, LDTReducerParams,
                           LDTReducerSoundnessType)
+
+
+_HORNER_JITS = {}
+
+
+def _responses_at_positions(F, resp_dev, L, positions: List[int]) -> List[int]:
+    """response(x_j) for every queried column in ONE device Horner dispatch
+    + ONE d2h (the per-position host-int Horner cost |response| modmuls per
+    query; the per-position device call cost one tunnel round-trip each).
+    Positions pad to the next power of two so repeated proofs share one
+    compiled shape."""
+    import jax
+    from ..algebra.poly import horner_eval
+    n = len(positions)
+    m = 1 << max(0, (n - 1).bit_length())
+    xs = F.from_ints([L.element_by_index_int(int(j)) for j in positions]
+                     + [0] * (m - n))
+    key = (F.name, resp_dev.shape, m)
+    fn = _HORNER_JITS.get(key)
+    if fn is None:
+        fn = _HORNER_JITS[key] = jax.jit(
+            lambda c, xx: horner_eval(F, c, xx))
+    return [int(v) for v in F.to_ints(fn(resp_dev, xs))[:n]]
 
 
 @dataclasses.dataclass
@@ -189,6 +212,14 @@ class InterleavedLincheckOT:
         supp_in = _encode_rows(
             F, self._blocks(supplementary_input, self.num_oracles_input),
             self.H, self.L)
+        # batch EVERY queried column into one gather + one d2h per array —
+        # the per-(interaction, position) column fetch cost one tunnel
+        # round-trip each (~50-200 ms x |Q| x interactions dominated the
+        # 19-34 s round-4 Ligero verifier)
+        positions = [self.iop.obtain_query_position(ph)
+                     for ph in self.position_handles]
+        pos_arr = jnp.asarray(np.asarray(positions, np.int64))
+        supp_cols = F.to_ints(jnp.take(supp_in, pos_arr, axis=2))
         for h_idx in range(self.num_interactions):
             response = self.iop.receive_prover_message(self.response_handles[h_idx])
             # equality: sum of response over the systematic domain == 0
@@ -207,24 +238,22 @@ class InterleavedLincheckOT:
             r_blocks, s_blocks = self._r_and_s_blocks(r)
             r_cw = _encode_rows(F, r_blocks, self.H, self.L)
             s_cw = _encode_rows(F, s_blocks, self.H, self.L)
-            for k, pos_h in enumerate(self.position_handles):
-                j = self.iop.obtain_query_position(pos_h)
-                x = self.L.element_by_index_int(j)
+            r_cols = F.to_ints(jnp.take(r_cw, pos_arr, axis=2))
+            s_cols = F.to_ints(jnp.take(s_cw, pos_arr, axis=2))
+            resp_at = _responses_at_positions(F, resp_dev, self.L, positions)
+            for k, j in enumerate(positions):
                 lhs = 0
-                r_at_j = [int(v) for v in F.to_ints(r_cw[:, :, j])]
-                s_at_j = [int(v) for v in F.to_ints(s_cw[:, :, j])]
-                supp_at_j = [int(v) for v in F.to_ints(supp_in[:, :, j])]
                 for i in range(self.num_oracles_target):
                     tv = self.iop.obtain_query_response(self.target_queries[k][i])
-                    lhs = F.add_ints(lhs, F.mul_ints(r_at_j[i], tv))
+                    lhs = F.add_ints(lhs, F.mul_ints(int(r_cols[i, k]), tv))
                 for i in range(self.num_oracles_input):
                     iv = F.add_ints(self.iop.obtain_query_response(
-                        self.input_queries[k][i]), supp_at_j[i])
-                    lhs = F.sub_ints(lhs, F.mul_ints(s_at_j[i], iv))
+                        self.input_queries[k][i]), int(supp_cols[i, k]))
+                    lhs = F.sub_ints(lhs, F.mul_ints(int(s_cols[i, k]), iv))
                 if self.make_zk:
                     lhs = F.add_ints(lhs, self.iop.obtain_query_response(
                         self.blinding_queries[k][h_idx]))
-                if lhs != horner_eval_ints(F, response, x):
+                if lhs != resp_at[k]:
                     return False
         return True
 
@@ -343,21 +372,24 @@ class InterleavedLincheckET:
                 rhs = F.add_ints(rhs, F.mul_ints(rj, bj))
             if lhs != rhs:
                 return False
-            # consistency test at each queried column
+            # consistency test at each queried column (batched gather — see
+            # the OT predicate note)
             s_cw = _encode_rows(F, self._s_blocks(r), self.H, self.L)
-            for k, pos_h in enumerate(self.position_handles):
-                j = self.iop.obtain_query_position(pos_h)
-                x = self.L.element_by_index_int(j)
-                s_at_j = [int(v) for v in F.to_ints(s_cw[:, :, j])]
+            positions = [self.iop.obtain_query_position(ph)
+                         for ph in self.position_handles]
+            pos_arr = jnp.asarray(np.asarray(positions, np.int64))
+            s_cols = F.to_ints(jnp.take(s_cw, pos_arr, axis=2))
+            resp_at = _responses_at_positions(F, resp_dev, self.L, positions)
+            for k, j in enumerate(positions):
                 acc = 0
                 for i in range(self.num_oracles):
                     uv = self.iop.obtain_query_response(
                         self.input_queries[k][i])
-                    acc = F.add_ints(acc, F.mul_ints(s_at_j[i], uv))
+                    acc = F.add_ints(acc, F.mul_ints(int(s_cols[i, k]), uv))
                 if self.make_zk:
                     acc = F.add_ints(acc, self.iop.obtain_query_response(
                         self.blinding_queries[k][h_idx]))
-                if acc != horner_eval_ints(F, response, x):
+                if acc != resp_at[k]:
                     return False
         return True
 
@@ -436,9 +468,10 @@ class InterleavedRowcheck:
             if any(int(v) != 0 for v in vals):
                 return False
             r = self.iop.obtain_verifier_random_message(self.rlc_handles[h_idx])
-            for k, pos_h in enumerate(self.position_handles):
-                j = self.iop.obtain_query_position(pos_h)
-                x = self.L.element_by_index_int(j)
+            positions = [self.iop.obtain_query_position(ph)
+                         for ph in self.position_handles]
+            resp_at = _responses_at_positions(F, resp_dev, self.L, positions)
+            for k, j in enumerate(positions):
                 lhs = 0
                 for i in range(self.num_oracles):
                     xv = self.iop.obtain_query_response(self.x_queries[k][i])
@@ -450,7 +483,7 @@ class InterleavedRowcheck:
                 if self.make_zk:
                     lhs = F.add_ints(lhs, self.iop.obtain_query_response(
                         self.blinding_queries[k][h_idx]))
-                if lhs != horner_eval_ints(F, response, x):
+                if lhs != resp_at[k]:
                     return False
         return True
 
