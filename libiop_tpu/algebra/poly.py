@@ -173,24 +173,70 @@ def divide_by_vanishing(coeffs, H: MultiplicativeCoset):
 
 
 # ---------------------------------------------------------------------------
-# dense polynomial evaluation (Horner, scan over coefficients)
+# dense polynomial evaluation (blocked Horner)
 # ---------------------------------------------------------------------------
+#: degree above which evaluation switches from one plain Horner scan to the
+#: blocked sqrt-decomposition (a d-step sequential scan on device cost the
+#: Aurora verifier 37 s at 2^18 — round-5 profile)
+_HORNER_BLOCK_THRESHOLD = 256
+
+
 def horner_eval(F: PrimeField, coeffs, x):
     """Evaluate the polynomial with coefficients ``coeffs`` (L, d) at point(s)
-    x: (L,) or (L, k). Returns same shape as x. Graph size O(1) via scan."""
+    x: (L,) or (L, k).  Returns same shape as x.  Graph size O(1) via scan.
+
+    Large degrees use the two-level decomposition p(x) = sum_s x^{m s}
+    q_s(x) with m = ceil(sqrt(d)) chunks evaluated in PARALLEL by one
+    m-step scan (vectorized over the S chunks), then combined by an S-step
+    Horner in x^m — O(sqrt(d)) sequential device steps instead of O(d).
+    Field ops are exact mod p, so the result is bit-identical to the plain
+    scan (pinned by tests)."""
     single = x.ndim == 1
     if single:
         x = x[:, None]
     k = x.shape[1]
-    acc = F.zeros((k,))
-    rev = jnp.flip(coeffs, axis=1).T  # (d, L)
+    d = coeffs.shape[1]
+    if d <= _HORNER_BLOCK_THRESHOLD:
+        acc = F.zeros((k,))
+        rev = jnp.flip(coeffs, axis=1).T  # (d, L)
 
-    def body(acc, c):
-        acc = F.add(F.mul(acc, x), jnp.broadcast_to(c[:, None], (F.L, k)).astype(jnp.uint32))
+        def body(acc, c):
+            acc = F.add(F.mul(acc, x),
+                        jnp.broadcast_to(c[:, None], (F.L, k)).astype(jnp.uint32))
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc, rev)
+        return acc[:, 0] if single else acc
+    m = 1 << ((d - 1).bit_length() + 1) // 2        # chunk length ~ sqrt(d)
+    S = -(-d // m)
+    pad = S * m - d
+    if pad:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros((F.L, pad), jnp.uint32)], axis=1)
+    chunks = coeffs.reshape(F.L, S, m)
+    # scan over intra-chunk coefficient index (descending), vectorized over
+    # (S chunks, k points): acc_s <- acc_s * x + c_{s, j}
+    rev = jnp.flip(chunks, axis=2).transpose(2, 0, 1)   # (m, L, S)
+    xb = x[:, None, :]                                  # (L, 1, k)
+    acc = F.zeros((S, k))
+
+    def body_chunk(acc, c):
+        acc = F.add(F.mul(acc, xb),
+                    jnp.broadcast_to(c[:, :, None], (F.L, S, k)).astype(jnp.uint32))
         return acc, None
 
-    acc, _ = jax.lax.scan(body, acc, rev)
-    return acc[:, 0] if single else acc
+    acc, _ = jax.lax.scan(body_chunk, acc, rev)         # (L, S, k)
+    # combine: S-step Horner in x^m over the chunk values (descending s)
+    xm = F.pow_static(x, m)                             # (L, k)
+    rev_s = jnp.flip(acc, axis=1).transpose(1, 0, 2)    # (S, L, k)
+    total = F.zeros((k,))
+
+    def body_outer(total, q):
+        total = F.add(F.mul(total, xm), q)
+        return total, None
+
+    total, _ = jax.lax.scan(body_outer, total, rev_s)
+    return total[:, 0] if single else total
 
 
 # ---------------------------------------------------------------------------

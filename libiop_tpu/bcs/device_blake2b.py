@@ -18,6 +18,7 @@ Output is bit-identical to hashlib.blake2b / the native OpenMP kernel
 """
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -68,6 +69,58 @@ def _rotr64(a, n: int):
             (hi << m) | (lo >> (32 - m)))
 
 
+#: compression lowering: "1" forces the fully unrolled rounds, "0" the
+#: lax.scan rounds, unset = auto (unrolled on accelerators, scan on CPU).
+#: The scan body compiles once but materializes the 12-round SIGMA-permuted
+#: message schedule (12x the message bytes in HBM) and updates state through
+#: dynamic-update-slices; the unrolled form is pure SSA elementwise dataflow
+#: XLA fuses aggressively, but its graph is ~3k ops per compression, which
+#: is what made XLA-CPU compiles minutes-long (hence scan on CPU).
+_UNROLL_ENV = os.environ.get("LIBIOP_TPU_BLAKE2B_UNROLL")
+
+
+def _use_unrolled() -> bool:
+    if _UNROLL_ENV in ("0", "1"):
+        return _UNROLL_ENV == "1"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # backend not initializable yet
+        return False
+
+
+_QUARTERS = [(0, 4, 8, 12), (1, 5, 9, 13), (2, 6, 10, 14), (3, 7, 11, 15),
+             (0, 5, 10, 15), (1, 6, 11, 12), (2, 7, 8, 13), (3, 4, 9, 14)]
+
+
+def _compress_unrolled(h, m, t0: int, last: bool):
+    """Fully unrolled compression: v as 16 SSA (lo, hi) pairs, message words
+    indexed statically through SIGMA — no schedule materialization, no
+    dynamic-update-slices; bit-identical to the scan form."""
+    batch = m[0][0].shape
+    c64b = lambda v: (jnp.broadcast_to(jnp.uint32(v & 0xffffffff), batch),
+                      jnp.broadcast_to(jnp.uint32(v >> 32), batch))
+    v = list(h) + [c64b(_IV[i]) for i in range(8)]
+    v[12] = (v[12][0] ^ jnp.uint32(t0 & 0xffffffff),
+             v[12][1] ^ jnp.uint32(t0 >> 32))
+    if last:
+        v[14] = (~v[14][0], ~v[14][1])
+    for r in range(12):
+        s = _SIGMA[r]
+        for k, (a, b, c, d) in enumerate(_QUARTERS):
+            x, y = m[s[2 * k]], m[s[2 * k + 1]]
+            va = _add64(_add64(v[a], v[b]), x)
+            vd = _rotr64(_xor64(v[d], va), 32)
+            vc = _add64(v[c], vd)
+            vb = _rotr64(_xor64(v[b], vc), 24)
+            va = _add64(_add64(va, vb), y)
+            vd = _rotr64(_xor64(vd, va), 16)
+            vc = _add64(vc, vd)
+            vb = _rotr64(_xor64(vb, vc), 63)
+            v[a], v[b], v[c], v[d] = va, vb, vc, vd
+    return [(h[i][0] ^ v[i][0] ^ v[i + 8][0],
+             h[i][1] ^ v[i][1] ^ v[i + 8][1]) for i in range(8)]
+
+
 def _compress(h, m, t0: int, last: bool):
     """One compression.  h = list of 8 (lo, hi) batch arrays; m = list of 16.
     t0 = static total byte count; last = static finalization flag.
@@ -75,7 +128,10 @@ def _compress(h, m, t0: int, last: bool):
     The 12 rounds run as a lax.scan over a statically SIGMA-permuted message
     schedule — the fully unrolled graph made XLA-CPU compiles minutes-long;
     the scan body compiles once (the round structure is identical, only the
-    message permutation varies, and that is data, not graph)."""
+    message permutation varies, and that is data, not graph).  On
+    accelerators the unrolled form is selected instead (see _use_unrolled)."""
+    if _use_unrolled():
+        return _compress_unrolled(h, m, t0, last)
     batch = m[0][0].shape
     c64b = lambda v: (jnp.broadcast_to(jnp.uint32(v & 0xffffffff), batch),
                       jnp.broadcast_to(jnp.uint32(v >> 32), batch))

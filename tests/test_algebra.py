@@ -54,6 +54,24 @@ def test_horner(rng):
     assert got == want
 
 
+def test_horner_blocked_matches_plain(rng):
+    """Degrees above _HORNER_BLOCK_THRESHOLD take the sqrt-decomposition
+    path; it must agree bit-for-bit with host-int Horner on both families
+    (the verifier's transcript math runs through this)."""
+    from libiop_tpu.fields.binary import gf64
+    for F in (edwards_fr(), gf64()):
+        for d in (255, 300, 1100):
+            ints = [int(v) for v in rng.integers(0, 1 << 60, size=d)]
+            xs_i = [int(v) for v in rng.integers(1, 1 << 60, size=3)]
+            got = F.to_ints(horner_eval(F, F.from_ints(ints), F.from_ints(xs_i)))
+            for x, g in zip(xs_i, got):
+                want = 0
+                for c in reversed(ints):
+                    want = F.add_ints(F.mul_ints(want, F.sample_int(x)),
+                                      F.sample_int(c))
+                assert int(g) == want, (F.name, d)
+
+
 def test_lagrange_coefficients(rng):
     F = edwards_fr()
     H = MultiplicativeCoset(F, dim=3, shift=19)

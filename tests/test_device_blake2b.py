@@ -33,6 +33,28 @@ def test_blake2b_words_matches_hashlib(msg_bytes, digest_bytes, rng):
             np.uint8).tobytes() == want
 
 
+def test_unrolled_compression_matches_hashlib(rng, monkeypatch):
+    """The accelerator-selected unrolled compression (no scan, static SIGMA)
+    must be bit-identical to hashlib — pinned here on CPU with a tiny batch
+    (the auto-switch picks scan on CPU, so force the unrolled path)."""
+    import libiop_tpu.bcs.device_blake2b as dev
+    monkeypatch.setattr(dev, "_UNROLL_ENV", "1")
+    for msg_bytes, digest_bytes in [(4, 32), (128, 32), (196, 32), (385, 64)]:
+        nw = max(1, -(-msg_bytes // 4))
+        msgs = [bytes(rng.integers(0, 256, size=msg_bytes, dtype=np.uint8))
+                for _ in range(3)]
+        rows = np.zeros((3, nw), dtype=np.uint32)
+        for k, m in enumerate(msgs):
+            padded = m + b"\x00" * (nw * 4 - msg_bytes)
+            rows[k] = np.frombuffer(padded, dtype="<u4")
+        got = np.asarray(blake2b_words(jnp.asarray(rows), msg_bytes,
+                                       digest_bytes))
+        for k, m in enumerate(msgs):
+            want = hashlib.blake2b(m, digest_size=digest_bytes).digest()
+            assert np.ascontiguousarray(got[k].astype("<u4")).view(
+                np.uint8).tobytes() == want
+
+
 def test_prefix_tag_words(rng):
     raw = bytes(rng.integers(0, 256, size=20, dtype=np.uint8))
     w = jnp.asarray(np.frombuffer(raw, dtype="<u4").reshape(1, 5))
