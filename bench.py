@@ -55,11 +55,12 @@ _w = jax.jit(lambda x: x + 1)(jnp.ones((8,), jnp.uint32))
 _t0 = time.time(); jax.device_get(_w)
 print(json.dumps({{"stage": "tunnel", "warm_transfer_s": time.time() - _t0}}),
       flush=True)
-# Scan-mode lowering everywhere (bit-identical math, pinned by
-# test_compile_modes): the unrolled graphs cost ~250 s of TRACING+LOWERING
-# per warm prove at 2^12 (round-5 cProfile) that no persistent compile cache
-# can save; scan graphs trace in seconds AND measured faster at runtime
-# (0.57 s vs 0.75-1.05 s per 2^12 prove on the chip).
+# Lowering choice (bit-identical math either way, pinned by
+# test_compile_modes): COMPILE_LIGHT (scanned Montgomery mul) keeps graphs
+# compact enough to trace in seconds — the fully unrolled mul cost ~250 s
+# of tracing+lowering per warm prove that no compile cache can save.  The
+# NTT *butterfly stages* stay UNROLLED (scan_log=24): the stage scan ran
+# 8-12x slower on the chip (dim 20: 0.82-1.73 s vs 0.136 s per NTT).
 import libiop_tpu.fields.prime as prime_mod
 prime_mod.COMPILE_LIGHT = True
 import libiop_tpu.algebra.fft as fftmod
@@ -202,7 +203,7 @@ _w = jax.jit(lambda x: x + 1)(jnp.ones((8,), jnp.uint32)); jax.device_get(_w)
 import libiop_tpu.fields.prime as prime_mod
 prime_mod.COMPILE_LIGHT = True
 import libiop_tpu.algebra.fft as fftmod
-fftmod._SCAN_THRESHOLD = 1 << 6
+fftmod._SCAN_THRESHOLD = 1 << 24
 from libiop_tpu.fields.prime import edwards_fr
 from libiop_tpu.relations.examples import generate_r1cs_example
 from libiop_tpu.snark.ligero import (LigeroSnarkParams, ligero_snark_prover,
@@ -253,7 +254,7 @@ _w = jax.jit(lambda x: x + 1)(jnp.ones((8,), jnp.uint32)); jax.device_get(_w)
 import libiop_tpu.fields.prime as prime_mod
 prime_mod.COMPILE_LIGHT = True
 import libiop_tpu.algebra.fft as fftmod
-fftmod._SCAN_THRESHOLD = 1 << 6
+fftmod._SCAN_THRESHOLD = 1 << 24
 from libiop_tpu.fields.prime import edwards_fr
 from libiop_tpu.relations.examples import generate_r1cs_example
 from libiop_tpu.snark.fractal import (FractalSnarkParams,
@@ -377,7 +378,7 @@ _FIELD_SETUPS = {
 }
 
 
-def bench_aurora(log_n=14, scan_log=6, budget_s=600, make_zk=False,
+def bench_aurora(log_n=14, scan_log=24, budget_s=600, make_zk=False,
                  field="edwards181") -> tuple:
     """Returns (primary_line_or_None, raw_child_result)."""
     loc = 2 if field == "edwards181" else 1

@@ -160,6 +160,20 @@ def _vanishing_memoized(tag, H, L, compute):
     return device_memo((tag, H._key(), L._key()), compute)
 
 
+def place_columns(values, positions, out_size: int):
+    """out[..., positions[k]] = values[..., k], zeros elsewhere — lowered as
+    a GATHER through the inverse placement (with a zero sentinel) instead of
+    a scatter: TPU scatters serialize per index and dominated the 2^18
+    witness-encode/lincheck profiles; the equivalent gather is one dense op.
+    ``positions`` must be static (trace-time) ints, distinct, in range."""
+    nv = values.shape[-1]
+    inv = np.full(out_size, nv, dtype=np.int64)
+    inv[np.asarray(positions, dtype=np.int64)] = np.arange(nv, dtype=np.int64)
+    padded = jnp.concatenate(
+        [values, jnp.zeros(values.shape[:-1] + (1,), values.dtype)], axis=-1)
+    return jnp.take(padded, jnp.asarray(inv), axis=-1)
+
+
 def vanishing_evals_over_any(H, L):
     """(limbs, |L|) device evaluations of Z_H over L (memoized)."""
     if is_additive(H):

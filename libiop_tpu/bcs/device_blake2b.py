@@ -121,7 +121,7 @@ def _compress_unrolled(h, m, t0: int, last: bool):
              h[i][1] ^ v[i][1] ^ v[i + 8][1]) for i in range(8)]
 
 
-def _compress(h, m, t0: int, last: bool):
+def _compress(h, m, t0: int, last: bool, unroll=None):
     """One compression.  h = list of 8 (lo, hi) batch arrays; m = list of 16.
     t0 = static total byte count; last = static finalization flag.
 
@@ -129,8 +129,10 @@ def _compress(h, m, t0: int, last: bool):
     schedule — the fully unrolled graph made XLA-CPU compiles minutes-long;
     the scan body compiles once (the round structure is identical, only the
     message permutation varies, and that is data, not graph).  On
-    accelerators the unrolled form is selected instead (see _use_unrolled)."""
-    if _use_unrolled():
+    accelerators the unrolled form is selected instead (see _use_unrolled);
+    ``unroll`` overrides the auto-choice (the Merkle level loop forces scan:
+    log2(n) unrolled compressions in one graph blew remote compile times)."""
+    if unroll if unroll is not None else _use_unrolled():
         return _compress_unrolled(h, m, t0, last)
     batch = m[0][0].shape
     c64b = lambda v: (jnp.broadcast_to(jnp.uint32(v & 0xffffffff), batch),
@@ -193,7 +195,7 @@ def prefix_tag_words(words, tag: int):
     return jnp.concatenate([first, rest, last], axis=1)
 
 
-def blake2b_words(words, msg_bytes: int, digest_bytes: int):
+def blake2b_words(words, msg_bytes: int, digest_bytes: int, unroll=None):
     """Batched keyless BLAKE2b of equal-length messages.
 
     words: (n, nw) uint32 — each row the message as little-endian u32 words,
@@ -215,7 +217,7 @@ def blake2b_words(words, msg_bytes: int, digest_bytes: int):
         m = [(blk[:, 2 * i], blk[:, 2 * i + 1]) for i in range(16)]
         lastb = b == nblocks - 1
         t0 = msg_bytes if lastb else (b + 1) * 128
-        h = _compress(h, m, t0, lastb)
+        h = _compress(h, m, t0, lastb, unroll=unroll)
     out = []
     for i in range(digest_bytes // 4):
         lo, hi = h[i // 2]
@@ -234,11 +236,18 @@ def merkle_heap_words(leaf_digest_words, digest_bytes: int):
     n, dw = leaf_digest_words.shape
     levels = [leaf_digest_words]
     cur = leaf_digest_words
+    # a few levels near the leaves carry nearly all the hash work; unroll
+    # those, then force the scan compression so the graph stays
+    # O(levels * scan_body) instead of O(levels * 3k ops) — the fully
+    # unrolled level loop blew remote-XLA compile times at 2^20
+    unroll_levels = 2
     while cur.shape[0] > 1:
         m = cur.shape[0]
         pairs = cur.reshape(m // 2, 2 * dw)
         tagged = prefix_tag_words(pairs, 0x01)
-        cur = blake2b_words(tagged, 1 + 2 * digest_bytes, digest_bytes)
+        unroll = None if len(levels) <= unroll_levels else False
+        cur = blake2b_words(tagged, 1 + 2 * digest_bytes, digest_bytes,
+                            unroll=unroll)
         levels.append(cur)
     heap = [jnp.zeros((1, dw), _U32)] + levels[::-1]
     return jnp.concatenate(heap, axis=0)

@@ -151,8 +151,8 @@ def compute_p_alpha_M_evals(F, input_variable_dim: int,
     reindex = np.array(
         [Hs.reindex_by_subgroup(input_variable_dim, j) for j in range(nv)],
         dtype=np.int64)
-    out = jnp.zeros((F.L, nv), dtype=jnp.uint32)
-    return out.at[:, jnp.asarray(reindex)].set(acc[:, :nv])
+    from ..algebra.generic import place_columns
+    return place_columns(acc[:, :nv], reindex, nv)
 
 
 class HolographicMultiLincheck:

@@ -99,9 +99,10 @@ class MultiLincheckVirtualOracle(VirtualOracle):
         Hs = self.summation_domain
         alpha_l = F.from_ints([alpha]).reshape(F.L)
         alpha_powers = device_powers(F, alpha_l, self.constraint_domain.order)
-        # p_alpha^1 evals over summation domain
-        p1 = jnp.zeros((F.L, Hs.order), dtype=jnp.uint32)
-        p1 = p1.at[:, jnp.asarray(self.constraint_to_sum)].set(alpha_powers)
+        # p_alpha^1 evals over summation domain (gather-placed; TPU scatter
+        # of 2^18 columns serialized — see generic.place_columns)
+        from ..algebra.generic import place_columns
+        p1 = place_columns(alpha_powers, self.constraint_to_sum, Hs.order)
         # p_alpha^2 = sum_M r_M M^T(alpha_powers), scattered to variable slots
         acc = None
         for m, M in enumerate(self.matrices):
@@ -116,8 +117,7 @@ class MultiLincheckVirtualOracle(VirtualOracle):
                 [acc, jnp.zeros((F.L, nv - acc.shape[1]), dtype=jnp.uint32)], axis=1)
         else:
             assert acc.shape[1] == nv, (acc.shape, nv)
-        p2 = jnp.zeros((F.L, Hs.order), dtype=jnp.uint32)
-        p2 = p2.at[:, jnp.asarray(self.var_to_sum)].set(acc)
+        p2 = place_columns(acc, self.var_to_sum, Hs.order)
         self._p1_coeffs = ifft_any(p1, Hs)
         self._p2_coeffs = ifft_any(p2, Hs)
         self._p_cw = None

@@ -269,7 +269,7 @@ class EncodedAurora:
         fn = cache.get(key)
         if fn is not None:
             return fn
-        aux_positions = jnp.asarray(self.var_reindex[k + 1:])
+        aux_positions = np.asarray(self.var_reindex[k + 1:], dtype=np.int64)
         A, B, C = self.r1cs.matrices()
         input_domain, variable_domain = self.input_domain, self.variable_domain
         constraint_domain, L = self.constraint_domain, self.L
@@ -279,9 +279,11 @@ class EncodedAurora:
             f1v_coeffs = ifft_any(f1_in, input_domain)
             f1v_vd = fft_any(f1v_coeffs, variable_domain)
             # fw' over the variable domain: aux - f1v at witness slots
-            fw_prime = jnp.zeros((F.L, n), dtype=jnp.uint32)
-            fw_prime = fw_prime.at[:, aux_positions].set(
-                F.sub(aux_mont, f1v_vd[:, aux_positions]))
+            # (gather-placed: TPU scatters serialize; generic.place_columns)
+            from ..algebra.generic import place_columns
+            fw_prime = place_columns(
+                F.sub(aux_mont, f1v_vd[:, jnp.asarray(aux_positions)]),
+                aux_positions, n)
             fw_coeffs = ifft_any(fw_prime, variable_domain)
             if make_zk:
                 # += Z_var * R_w, R_w random of degree < b

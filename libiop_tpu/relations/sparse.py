@@ -58,9 +58,57 @@ class SparseMatrix:
         reduction (lazy-limb mod-p sums / XOR bit-plane parity)."""
         return self.F.segment_reduce(prod, seg_ids, num_segments)
 
+    def _ell_plan(self, seg_ids: np.ndarray, src_ids: np.ndarray,
+                  num_segments: int):
+        """Static ELL layout for a segment reduction: pad every segment to
+        the max segment degree K so the reduction is a dense reshape+sum of
+        gathers — NO scatter (TPU segment_sum lowers to serialized scatter-
+        adds; it dominated the sync-profiled 2^18 witness-encode/lincheck).
+        Returns (entry_idx (S*K,), src_flat (S*K,), K) with sentinel entries
+        pointing at an appended zero value, or None when padding would blow
+        memory (> 4x nnz; callers fall back to segment_sum)."""
+        nnz = len(seg_ids)
+        counts = np.bincount(seg_ids, minlength=num_segments)
+        K = int(counts.max(initial=1))
+        if K * num_segments > 4 * nnz + 4096:
+            return None
+        order = np.argsort(seg_ids, kind="stable")
+        sseg = seg_ids[order].astype(np.int64)
+        starts = np.zeros(num_segments + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(nnz, dtype=np.int64) - starts[sseg]
+        flat_pos = sseg * K + slot
+        entry_idx = np.full(num_segments * K, nnz, dtype=np.int64)
+        entry_idx[flat_pos] = order
+        src_flat = np.zeros(num_segments * K, dtype=np.int64)
+        src_flat[flat_pos] = src_ids[order]
+        return (jnp.asarray(entry_idx), jnp.asarray(src_flat), K)
+
+    def _ell_apply(self, plan, vec, num_segments: int):
+        F = self.F
+        entry_idx, src_flat, K = plan
+        vals_pad = jnp.concatenate(
+            [self.vals, jnp.zeros(self.vals.shape[:-1] + (1,), jnp.uint32)],
+            axis=-1)
+        prod = F.mul(jnp.take(vals_pad, entry_idx, axis=1),
+                     jnp.take(vec, src_flat, axis=1))
+        prod3 = prod.reshape(prod.shape[:-1] + (num_segments, K))
+        if hasattr(F, "p"):
+            # limbs < 2^16, K <= MAX_ROW_NNZ: exact uint32 sums, one wide
+            # Montgomery reduction (same math as segment_reduce)
+            return F.lazy_sum_reduce(jnp.sum(prod3, axis=-1))
+        return jax.lax.reduce(prod3, jnp.uint32(0), jax.lax.bitwise_xor,
+                              dimensions=[prod3.ndim - 1])
+
     def matvec(self, z):
         """M @ z for z (L, num_cols) Montgomery -> (L, num_rows)."""
         F = self.F
+        plan = getattr(self, "_mv_plan", False)
+        if plan is False:
+            plan = self._mv_plan = self._ell_plan(
+                self.rows, self.cols, self.num_rows)
+        if plan is not None:
+            return self._ell_apply(plan, z, self.num_rows)
         gathered = jnp.take(z, self._cols_dev, axis=1)   # (L, nnz)
         prod = F.mul(self.vals, gathered)
         return self._segsum(prod, self._rows_dev, self.num_rows)
@@ -69,6 +117,12 @@ class SparseMatrix:
         """M^T @ y for y (L, num_rows) -> (L, num_cols).  Hot path of
         lincheck's p_alpha^M computation (basic_lincheck_aux.hpp:36-55)."""
         F = self.F
+        plan = getattr(self, "_mvT_plan", False)
+        if plan is False:
+            plan = self._mvT_plan = self._ell_plan(
+                self.cols, self.rows, self.num_cols)
+        if plan is not None:
+            return self._ell_apply(plan, y, self.num_cols)
         gathered = jnp.take(y, self._rows_dev, axis=1)
         prod = F.mul(self.vals, gathered)
         return self._segsum(prod, self._cols_dev, self.num_cols)
