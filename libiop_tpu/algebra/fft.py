@@ -40,6 +40,34 @@ def _bcast(w, ndim):
 # unrolled path is preferred up to 2^20 and scan guards the tail.
 _SCAN_THRESHOLD = 1 << 21
 
+# Above this domain size the twiddle tables and bit-reversal permutation are
+# COMPUTED IN-GRAPH (log N squaring-doubles / bit shuffles) instead of being
+# closed over as host arrays: closure constants inline into the HLO as
+# literals (measured: an 8 MB numpy closure = 16 MB of HLO), and at 2^20 the
+# ~200 MB-per-table payload exceeded the remote compile service's request
+# limit (HTTP 413).  Montgomery powers computed on device are bit-identical
+# to the host tables, so transcripts do not change.
+_INGRAPH_CONST_N = 1 << 19
+
+
+def _device_powers_of(F: PrimeField, base_int: int, n: int):
+    """[base^k, k < n] as (L, n) Montgomery limbs, computed in-graph from the
+    single scalar base (log n squaring-doubles)."""
+    from .domains import _powers_doubling
+    b = F.from_ints([base_int % F.p]).reshape(F.L)
+    return _powers_doubling(F, b, n)[:, :n]
+
+
+def _device_bitrev_indices(d: int):
+    """Bit-reversal permutation of [0, d) as an in-graph int32 vector."""
+    n_log = d.bit_length() - 1
+    j = jax.lax.iota(jnp.int32, d)
+    r = jnp.zeros_like(j)
+    for _ in range(n_log):
+        r = (r << 1) | (j & 1)
+        j = j >> 1
+    return r
+
 
 def _butterfly_stages_scan(F: PrimeField, x, W, N: int, first_m: int):
     """Same computation as _butterfly_stages, expressed as one scanned stage:
@@ -115,16 +143,22 @@ def _fft_impl(coeffs, domain: MultiplicativeCoset):
         coeffs = jnp.concatenate([coeffs, pad], axis=-1)
         d = d2
     assert d <= N, (d, N)
+    big = N >= _INGRAPH_CONST_N
     if domain.shift != 1:
-        coeffs = F.mul(coeffs, _bcast(domain.shift_powers()[:, :d], coeffs.ndim))
+        sp = _device_powers_of(F, domain.shift, d) if big \
+            else domain.shift_powers()[:, :d]
+        coeffs = F.mul(coeffs, _bcast(sp, coeffs.ndim))
     if d == 1:
         return jnp.broadcast_to(coeffs[..., :1],
                                 coeffs.shape[:-1] + (N,)).astype(jnp.uint32)
     # bit-reverse the d coefficients, then duplicate each N/d times
-    x = jnp.take(coeffs, jnp.asarray(bitrev_permutation(d)), axis=-1)
+    rev = _device_bitrev_indices(d) if big \
+        else jnp.asarray(bitrev_permutation(d))
+    x = jnp.take(coeffs, rev, axis=-1)
     if N > d:
         x = jnp.repeat(x, N // d, axis=-1)
-    W = domain.generator_powers()
+    W = _device_powers_of(F, domain.g, N) if big \
+        else domain.generator_powers()
     stages = _butterfly_stages_scan if N >= _SCAN_THRESHOLD else _butterfly_stages
     return stages(F, x, W, N, first_m=N // d)
 
@@ -142,8 +176,12 @@ def _ifft_impl(evals, domain: MultiplicativeCoset):
     assert evals.shape[-1] == N
     if N == 1:
         return evals
-    x = jnp.take(evals, jnp.asarray(bitrev_permutation(N)), axis=-1)
-    Winv = domain.inverse_generator_powers()
+    big = N >= _INGRAPH_CONST_N
+    rev = _device_bitrev_indices(N) if big \
+        else jnp.asarray(bitrev_permutation(N))
+    x = jnp.take(evals, rev, axis=-1)
+    Winv = _device_powers_of(F, pow(domain.g, F.p - 2, F.p), N) if big \
+        else domain.inverse_generator_powers()
     stages = _butterfly_stages_scan if N >= _SCAN_THRESHOLD else _butterfly_stages
     x = stages(F, x, Winv, N, first_m=1)
     # scale by N^{-1}
@@ -151,7 +189,9 @@ def _ifft_impl(evals, domain: MultiplicativeCoset):
         (F.L,) + (1,) * (x.ndim - 1))
     x = F.mul(x, n_inv)
     if domain.shift != 1:
-        x = F.mul(x, _bcast(domain.inverse_shift_powers()[:, :N], x.ndim))
+        isp = _device_powers_of(F, pow(domain.shift, F.p - 2, F.p), N) if big \
+            else domain.inverse_shift_powers()[:, :N]
+        x = F.mul(x, _bcast(isp, x.ndim))
     return x
 
 

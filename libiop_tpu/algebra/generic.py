@@ -167,8 +167,8 @@ def place_columns(values, positions, out_size: int):
     witness-encode/lincheck profiles; the equivalent gather is one dense op.
     ``positions`` must be static (trace-time) ints, distinct, in range."""
     nv = values.shape[-1]
-    inv = np.full(out_size, nv, dtype=np.int64)
-    inv[np.asarray(positions, dtype=np.int64)] = np.arange(nv, dtype=np.int64)
+    inv = np.full(out_size, nv, dtype=np.int32)
+    inv[np.asarray(positions, dtype=np.int64)] = np.arange(nv, dtype=np.int32)
     padded = jnp.concatenate(
         [values, jnp.zeros(values.shape[:-1] + (1,), values.dtype)], axis=-1)
     return jnp.take(padded, jnp.asarray(inv), axis=-1)

@@ -134,6 +134,7 @@ def _build_fold_fn(F, domain: MultiplicativeCoset, eta: int):
     import functools
     import jax
     from ..algebra.domains import _powers_doubling
+    from ..algebra.fft import _INGRAPH_CONST_N, _device_powers_of
 
     c = 1 << eta
     N = domain.order
@@ -142,13 +143,17 @@ def _build_fold_fn(F, domain: MultiplicativeCoset, eta: int):
     g_inv = pow(pow(F.root_of_unity, 1 << (F.two_adicity - eta), p), p - 2, p)
     c_inv = pow(c, p - 2, p)
     # static host tables (numpy — cache-safe): intra-coset inverse-NTT rows
-    # (1/c) g^{-tk} and per-t output twiddles G^{-jt}
+    # (1/c) g^{-tk}; the per-t output twiddles G^{-jt} = (G^{-t})^j are (L, nc)
+    # EACH — at 2^20+ they are computed in-graph from the scalar G^{-t}
+    # (closure constants inline into the HLO; see algebra/fft.py notes)
     rows = np.stack([F.from_ints_np(
         [pow(g_inv, (t * k) % c, p) * c_inv % p for k in range(c)])
         for t in range(c)], axis=1)                      # (L, c_t, c_k)
-    Winv = np.asarray(domain.inverse_generator_powers())  # (L, N)
-    tw = np.stack([Winv[:, (np.arange(nc) * t) % N] for t in range(c)],
-                  axis=1)                                # (L, c_t, nc)
+    big = N >= _INGRAPH_CONST_N
+    G_inv = pow(domain.g, p - 2, p)
+    if not big:
+        Winv = np.asarray(domain.inverse_generator_powers())  # (L, N)
+        tw_host = [Winv[:, (np.arange(nc) * t) % N] for t in range(c)]
     shift_inv = F.from_ints_np([pow(domain.shift, p - 2, p)])
 
     def fold(evals, x):
@@ -160,8 +165,9 @@ def _build_fold_fn(F, domain: MultiplicativeCoset, eta: int):
         for t in range(c):
             m = F.mul(v, jnp.asarray(rows[:, t, :])[:, :, None])  # (L,c,nc)
             a_t = F.lazy_sum_reduce(jnp.sum(m, axis=1))           # (L,nc)
-            term = F.mul(F.mul(a_t, jnp.asarray(tw[:, t, :])),
-                         xpow[:, t:t + 1])
+            tw_t = _device_powers_of(F, pow(G_inv, t, p), nc) if big \
+                else jnp.asarray(tw_host[t])
+            term = F.mul(F.mul(a_t, tw_t), xpow[:, t:t + 1])
             acc = term if acc is None else acc + term  # lazy limb accumulation
         return F.lazy_sum_reduce(acc)
 

@@ -78,9 +78,9 @@ class SparseMatrix:
         np.cumsum(counts, out=starts[1:])
         slot = np.arange(nnz, dtype=np.int64) - starts[sseg]
         flat_pos = sseg * K + slot
-        entry_idx = np.full(num_segments * K, nnz, dtype=np.int64)
+        entry_idx = np.full(num_segments * K, nnz, dtype=np.int32)
         entry_idx[flat_pos] = order
-        src_flat = np.zeros(num_segments * K, dtype=np.int64)
+        src_flat = np.zeros(num_segments * K, dtype=np.int32)
         src_flat[flat_pos] = src_ids[order]
         return (jnp.asarray(entry_idx), jnp.asarray(src_flat), K)
 

@@ -75,10 +75,26 @@ def _bounded_executable_cache():
     """Clear jax's in-process executable caches after each test module: a
     single full-suite invocation otherwise accumulates hundreds of live CPU
     executables and this jaxlib intermittently SIGSEGVs in
-    backend_compile_and_load late in the run (observed at ~62%).  Our own
-    jit wrappers transparently recompile, so this only costs cross-module
-    cache reuse (small: modules compile distinct shapes)."""
+    backend_compile_and_load late in the run (observed at ~62%, and again at
+    module 2 of the round-5 suite once the fused-DAG/device-tree graphs
+    landed).  The framework's own process-global jit registries hold strong
+    references to compiled executables, so they are dropped too — every
+    wrapper transparently recompiles, costing only cross-module reuse."""
     yield
+    from libiop_tpu.algebra import fft as _fft
+    from libiop_tpu.algebra import generic as _gen
+    from libiop_tpu.bcs import common as _bcs_common
+    from libiop_tpu.iop import runtime as _rt
+    from libiop_tpu.protocols import fri as _fri
+    from libiop_tpu.protocols import ligero as _lig
+    from libiop_tpu.protocols import lincheck as _lc
+    from libiop_tpu.fields import autojit as _aj
+    for cache in (_rt._FUSED_DAG_JITS, _fft._jit_cache,
+                  _bcs_common._DEVICE_LEAF_JIT, _fri._FOLD_FN_CACHE,
+                  _fri._COSET_INTERP_CONSTS, _lig._HORNER_JITS,
+                  _lc._HORNER_PAIR_JITS, _gen._DEVICE_ARRAY_MEMO,
+                  _aj._CACHE):
+        cache.clear()
     jax.clear_caches()
 
 
