@@ -119,6 +119,10 @@ class DeviceLeafBlocks:
 
 _DEVICE_LEAF_JIT: dict = {}
 
+#: leaf count above which the device leaf pipeline runs in 8 chunks (HBM
+#: peak control at 2^20-constraint rounds); tests lower it to pin equality
+_CHUNK_LEAF_THRESHOLD = 1 << 20
+
 
 def device_leaf_digests(F, oracle_evals_list, domain, coset_size: int,
                         digest_bytes: int, salts: Optional[bytes] = None,
@@ -189,6 +193,57 @@ def device_leaf_digests(F, oracle_evals_list, domain, coset_size: int,
         else:
             fn = jax.jit(lambda *evs: _pipeline(None, *evs))
         _DEVICE_LEAF_JIT[key] = fn
+    # HUGE trees (2^20-constraint rounds: 2M+ leaves) chunk the leaf
+    # pipeline: the stack+canonicalize+pack transients at (L, O, 4M) peaked
+    # past HBM (RESOURCE_EXHAUSTED on the v5e).  Each chunk re-slices the
+    # oracle columns belonging to its leaf range (stride-structured for
+    # multiplicative cosets, contiguous for additive), runs the same
+    # pipeline, and the digests feed one tree build.
+    if num_leaves >= _CHUNK_LEAF_THRESHOLD and build_tree:
+        CH = 8
+        chunk = num_leaves // CH
+        dig_parts, word_parts = [], []
+        ck = (key, "chunk", chunk)
+        cfn = _DEVICE_LEAF_JIT.get(ck)
+        if cfn is None:
+            def _chunk_pipeline(sws, *evs):
+                stacked = jnp.stack(evs, axis=1)
+                if prime:
+                    cl = F.to_canonical_limbs(stacked)
+                    packed = cl[0::2] | (cl[1::2] << 16)
+                else:
+                    packed = stacked
+                w = leaf_words_layout(packed, chunk, c, additive)
+                hw = w if sws is None else jnp.concatenate([w, sws], axis=1)
+                return blake2b_words(prefix_tag_words(hw, 0x00),
+                                     block_len + 4 * sw + 1, digest_bytes), w
+            cfn = _DEVICE_LEAF_JIT[ck] = jax.jit(_chunk_pipeline)
+        for t in range(CH):
+            a, b = t * chunk, (t + 1) * chunk
+            if additive:
+                evs_t = [e.reshape(e.shape[0], num_leaves, c)
+                         [:, a:b].reshape(e.shape[0], chunk * c)
+                         for e in oracle_evals_list]
+            else:
+                evs_t = [jnp.concatenate(
+                    [e[:, i * num_leaves + a:i * num_leaves + b]
+                     for i in range(c)], axis=1) for e in oracle_evals_list]
+            sw_t = salt_words[a:b] if sw else None
+            d_t, w_t = cfn(sw_t, *evs_t) if sw else cfn(None, *evs_t)
+            dig_parts.append(d_t)
+            word_parts.append(w_t)
+        digests_dev = jnp.concatenate(dig_parts, axis=0)
+        words_dev = jnp.concatenate(word_parts, axis=0)
+        tk = ("tree", num_leaves, digest_bytes)
+        tfn = _DEVICE_LEAF_JIT.get(tk)
+        if tfn is None:
+            from .device_blake2b import merkle_heap_words as _mhw
+            tfn = _DEVICE_LEAF_JIT[tk] = jax.jit(
+                lambda d: _mhw(d, digest_bytes))
+        heap_dev = tfn(digests_dev)
+        root = device_fetch(heap_dev[1]).astype("<u4").tobytes()[:digest_bytes]
+        return root, heap_dev, DeviceLeafBlocks(words_dev, block_len)
+
     args = ((salt_words,) if sw else ()) + tuple(oracle_evals_list)
     if build_tree:
         root_dev, heap_dev, words_dev = fn(*args)

@@ -132,6 +132,35 @@ def test_device_leaf_digests_zk_salts_match_host_path(F_fn, kind, rng):
     assert dev_blocks[0] == host_blocks[0]
 
 
+def test_chunked_leaf_pipeline_matches_host(rng, monkeypatch):
+    """The HBM-bounded chunked leaf pipeline (8 slices; engaged above
+    _CHUNK_LEAF_THRESHOLD leaves) must reproduce the host serialize+hash
+    tree exactly, both families."""
+    import libiop_tpu.bcs.common as bcs_common
+    from libiop_tpu.bcs.common import device_leaf_digests, serialize_leaf_blocks
+    from libiop_tpu.bcs.hashing import Blake2bHashing
+    from libiop_tpu.bcs.merkle import MerkleTree
+    from libiop_tpu.algebra.generic import make_domain, element_outside_of_subset
+    monkeypatch.setattr(bcs_common, "_CHUNK_LEAF_THRESHOLD", 8)
+    for F, kind in ((edwards_fr(), "mult"), (gf64(), "additive")):
+        dim, coset_size = 6, 2
+        if kind == "mult":
+            dom = make_domain(F, dim, shift=element_outside_of_subset(F, dim))
+        else:
+            dom = make_domain(F, dim)
+        N = dom.num_elements()
+        evals = [F.from_ints([int(x) for x in rng.integers(0, 1 << 60, size=N)])
+                 for _ in range(2)]
+        hasher = Blake2bHashing(128)
+        host_blocks = serialize_leaf_blocks(F, evals, dom, coset_size)
+        host_mt = MerkleTree(hasher, host_blocks)
+        out = device_leaf_digests(F, evals, dom, coset_size,
+                                  hasher.digest_bytes, build_tree=True)
+        root, heap_dev, dev_blocks = out
+        assert root == host_mt.root, kind
+        assert dev_blocks[3] == host_blocks[3]
+
+
 def test_device_merkle_heap_matches_host_tree(rng):
     """Full device tree build (merkle_heap_words): every heap node equals the
     host MerkleTree's, and the lazy multi-proof equals the host multi-proof
